@@ -1,0 +1,236 @@
+"""TPU-native FM-index: flat, bit-packed, fixed-shape tensors.
+
+Replaces the reference's byte-serialized block/bucket/wavelet-tree format
+(/root/reference/src/main/block_format.txt, index.h:103-134) with an
+array-native layout built for vectorized rank queries:
+
+  * the BWT is stored as dense uint16 codes, reshaped into
+    [n_seg, SEG] segments (SEG rows ≈ the reference's 128-byte bseq
+    segments, wtree_funcs.h:34);
+  * occurrence counts use the same 3-level prefix decomposition as the
+    reference (C array + per-block occs + in-bucket rank,
+    block_format.txt:45-49) collapsed to 2 levels: a global C array and a
+    per-segment absolute checkpoint `occ_ckpt[s, c]` = #occurrences of c in
+    BWT[0 : s*SEG).  rank(c, r) = occ_ckpt[r//SEG, c] + scan of one segment
+    — the scan is a SEG-wide VPU compare+sum instead of a serial
+    gamma-coded bitvector walk (wtree.c:635);
+  * mark sampling (sampled suffix array, index_types.h:134-144) is a packed
+    bitmap over rows + per-segment mark-rank checkpoints + a dense value
+    array, replacing per-bucket mark bitvectors and mark arrays
+    (block_format.txt:105-151).
+
+Everything is a static-shape device array, so queries jit/shard cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alphabet import (
+    ALPHA_SIZE,
+    INVALID_ALPHA,
+    PreparedText,
+    mark_positions_np,
+)
+
+# Rows per segment (the rank-scan granularity).  256 keeps the in-segment
+# scan cheap while the checkpoint overhead is ALPHA*4/SEG ≈ 4 bytes/row.
+DEFAULT_SEG = 256
+DEFAULT_MARK_PERIOD = 20
+
+
+class FMArrays(NamedTuple):
+    """Device-array portion of the index (a pytree leaf bundle)."""
+
+    bwt: jax.Array        # uint16[n_seg, SEG]; rows >= n hold INVALID_ALPHA
+    occ_ckpt: jax.Array   # int32[n_seg, ALPHA_SIZE]; occs before segment
+    C: jax.Array          # int32[ALPHA_SIZE+1]; C[c] = #symbols < c
+    mark_bits: jax.Array  # uint32[n_seg, SEG//32]; marked-row bitmap
+    mark_ckpt: jax.Array  # int32[n_seg]; marked rows before segment
+    mark_vals: jax.Array  # int32[n_marks_pad]; text offset per marked row
+    doc_starts: jax.Array  # int32[ndocs+1]
+    doc_seof_rows: jax.Array  # int32[ndocs]; row whose suffix starts at the
+    #                           doc's SEOF (used by extract: walk LF backward)
+
+
+@dataclasses.dataclass(frozen=True)
+class FMMeta:
+    """Static (hashable) metadata; passed as jit-static argument."""
+
+    n: int            # text length (rows in the index)
+    seg: int          # rows per segment
+    mark_period: int
+    num_docs: int
+    n_marks: int
+    n_seg: int = 0    # segments (>= n//seg + 1; padded for mesh sharding)
+
+    def __post_init__(self):
+        if self.n_seg == 0:
+            object.__setattr__(self, "n_seg", self.n // self.seg + 1)
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """Full index: device arrays + static meta + host-side metadata."""
+
+    arrays: FMArrays
+    meta: FMMeta
+    doc_starts_np: np.ndarray  # int64[ndocs+1] host copy
+    infos: List[bytes]
+
+    @property
+    def n(self) -> int:
+        return self.meta.n
+
+    @property
+    def num_docs(self) -> int:
+        return self.meta.num_docs
+
+    # ---- persistence (the analog of flatten_index, index.c:2260) ----
+
+    def save(self, path: str) -> None:
+        """Write the index as one directory: meta.json + arrays.npz."""
+        os.makedirs(path, exist_ok=True)
+        meta = dataclasses.asdict(self.meta)
+        meta["infos"] = [i.decode("utf-8", "surrogateescape") for i in self.infos]
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        arrs = {k: np.asarray(v) for k, v in self.arrays._asdict().items()}
+        arrs["doc_starts_np"] = self.doc_starts_np
+        np.savez(os.path.join(path, "arrays.npz"), **arrs)
+
+    @classmethod
+    def load(cls, path: str, device: Optional[Any] = None) -> "FMIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta_d = json.load(f)
+        infos = [s.encode("utf-8", "surrogateescape") for s in meta_d.pop("infos")]
+        meta = FMMeta(**meta_d)
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            doc_starts_np = z["doc_starts_np"]
+            arrays = FMArrays(
+                **{k: jnp.asarray(z[k]) for k in FMArrays._fields}
+            )
+        return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np, infos=infos)
+
+
+def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
+    """bool[n] (n % 32 == 0) -> uint32[n//32], little-endian within words."""
+    b = bits.astype(np.uint8).reshape(-1, 32)
+    weights = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+    return (b.astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+
+
+def build_fm_arrays(
+    text_np: np.ndarray,
+    sa_np: np.ndarray,
+    doc_starts: np.ndarray,
+    seg: int = DEFAULT_SEG,
+    mark_period: int = DEFAULT_MARK_PERIOD,
+    seg_multiple: int = 1,
+) -> "tuple[FMArrays, FMMeta]":
+    """Assemble index arrays from a suffix array (host-side finalization).
+
+    The heavy lifting (SA construction) runs on device; this packaging step
+    is O(n) numpy and mirrors the reference's constructor_* bucket writers
+    (construct.c:41-160) without the serial compression.
+
+    seg_multiple: round the segment count up to this multiple so the
+    leading (segment) dimension can be sharded evenly over a device mesh.
+    """
+    n = int(text_np.shape[0])
+    assert seg % 32 == 0
+    n_seg = n // seg + 1
+    n_seg = -(-n_seg // seg_multiple) * seg_multiple
+    n_pad = n_seg * seg
+
+    text_np = np.asarray(text_np, dtype=np.uint16)
+    sa_np = np.asarray(sa_np, dtype=np.int64)
+
+    bwt = np.full(n_pad, INVALID_ALPHA, dtype=np.uint16)
+    prev = np.where(sa_np == 0, n - 1, sa_np - 1)
+    bwt[:n] = text_np[prev]
+    bwt2d = bwt.reshape(n_seg, seg)
+
+    # C array.
+    counts = np.bincount(text_np, minlength=ALPHA_SIZE).astype(np.int64)
+    C = np.zeros(ALPHA_SIZE + 1, dtype=np.int32)
+    np.cumsum(counts, out=C[1:])
+
+    # Per-segment absolute occurrence checkpoints (exclusive).
+    seg_ids = np.arange(n_pad, dtype=np.int64) // seg
+    flat = seg_ids[:n] * ALPHA_SIZE + text_np[prev].astype(np.int64)
+    per_seg = np.bincount(flat, minlength=n_seg * ALPHA_SIZE).reshape(
+        n_seg, ALPHA_SIZE
+    )
+    occ_ckpt = np.zeros_like(per_seg)
+    np.cumsum(per_seg[:-1], axis=0, out=occ_ckpt[1:])
+    occ_ckpt = occ_ckpt.astype(np.int32)
+
+    # Mark sampling.
+    marked_pos = mark_positions_np(doc_starts.astype(np.int64), mark_period)
+    marked_row = np.zeros(n_pad, dtype=bool)
+    marked_row[:n] = marked_pos[sa_np]
+    mark_bits = _pack_bits_u32(marked_row).reshape(n_seg, seg // 32)
+    per_seg_marks = marked_row.reshape(n_seg, seg).sum(axis=1)
+    mark_ckpt = np.zeros(n_seg, dtype=np.int64)
+    np.cumsum(per_seg_marks[:-1], out=mark_ckpt[1:])
+    mark_vals = sa_np[marked_row[:n]].astype(np.int32)
+    n_marks = int(mark_vals.shape[0])
+    # Pad to a friendly multiple for static shapes.
+    pad_marks = max(1, -(-n_marks // 128) * 128)
+    mark_vals = np.pad(mark_vals, (0, pad_marks - n_marks), constant_values=-1)
+
+    # Row of each document's SEOF position (inverse SA at doc_end-1).
+    isa = np.empty(n, dtype=np.int64)
+    isa[sa_np] = np.arange(n, dtype=np.int64)
+    seof_pos = doc_starts[1:].astype(np.int64) - 1
+    doc_seof_rows = isa[seof_pos].astype(np.int32)
+
+    arrays = FMArrays(
+        bwt=jnp.asarray(bwt2d),
+        occ_ckpt=jnp.asarray(occ_ckpt),
+        C=jnp.asarray(C),
+        mark_bits=jnp.asarray(mark_bits),
+        mark_ckpt=jnp.asarray(mark_ckpt.astype(np.int32)),
+        mark_vals=jnp.asarray(mark_vals),
+        doc_starts=jnp.asarray(doc_starts.astype(np.int32)),
+        doc_seof_rows=jnp.asarray(doc_seof_rows),
+    )
+    meta = FMMeta(
+        n=n,
+        seg=seg,
+        mark_period=mark_period,
+        num_docs=int(doc_starts.shape[0]) - 1,
+        n_marks=n_marks,
+        n_seg=n_seg,
+    )
+    return arrays, meta
+
+
+def build_index(
+    prepared: PreparedText,
+    seg: int = DEFAULT_SEG,
+    mark_period: int = DEFAULT_MARK_PERIOD,
+    sa: Optional[np.ndarray] = None,
+) -> FMIndex:
+    """End-to-end single-device index build: SA on TPU, packaging on host."""
+    from .suffix import suffix_array
+
+    if sa is None:
+        sa = np.asarray(suffix_array(jnp.asarray(prepared.text.astype(np.int32))))
+    arrays, meta = build_fm_arrays(
+        prepared.text, sa, prepared.doc_starts, seg=seg, mark_period=mark_period
+    )
+    return FMIndex(
+        arrays=arrays,
+        meta=meta,
+        doc_starts_np=prepared.doc_starts.astype(np.int64),
+        infos=list(prepared.infos),
+    )

@@ -1,0 +1,120 @@
+"""Batched rank (Occ) queries over the segment-checkpointed BWT.
+
+This is the hot primitive of the whole framework — the TPU replacement for
+the reference's wavelet-tree walk + RLE-gamma bitvector scan
+(/root/reference/src/main/wtree.c:635 bseq_rank, index.c:2037-2090).  One
+rank(c, r) is: a scalar checkpoint gather + a SEG-wide vectorized
+compare-and-count of the row's segment.  Batched over thousands of queries it
+is two gathers and one VPU reduction — no per-query control flow.
+
+A Pallas variant with software-pipelined HBM->VMEM segment DMA lives in
+rank_pallas.py; this module is the portable XLA lowering used everywhere and
+as the correctness oracle for the kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..alphabet import ALPHA_SIZE
+from ..fmindex import FMArrays
+
+
+def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
+    """occ[i] = #occurrences of c[i] in BWT[0 : r[i]).  c,r: int32[B].
+
+    c entries outside [0, ALPHA_SIZE) are treated as "count nothing"
+    (returns 0) so padded lanes are harmless.
+    """
+    seg = arrays.bwt.shape[1]
+    c = c.astype(jnp.int32)
+    r = r.astype(jnp.int32)
+    valid = (c >= 0) & (c < ALPHA_SIZE)
+    cc = jnp.where(valid, c, 0)
+    s = r // seg
+    off = r - s * seg
+    base = arrays.occ_ckpt[s, cc]                    # [B] gather
+    segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    within = jnp.sum(
+        (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
+    return jnp.where(valid, base + within, 0)
+
+
+def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
+    """Fused pair rank for backward search: (occ(c,r1), occ(c,r2)).
+
+    r1/r2 are usually nearby (the [first,last) range bounds), so we gather
+    each segment once when they coincide is left to XLA's CSE; the win here
+    is one batched call instead of two.
+    """
+    seg = arrays.bwt.shape[1]
+    c = c.astype(jnp.int32)
+    valid = (c >= 0) & (c < ALPHA_SIZE)
+    cc = jnp.where(valid, c, 0)
+
+    def one(r):
+        s = r // seg
+        off = r - s * seg
+        base = arrays.occ_ckpt[s, cc]
+        segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+        within = jnp.sum(
+            (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
+        ).astype(jnp.int32)
+        return base + within
+
+    o1 = one(r1.astype(jnp.int32))
+    o2 = one(r2.astype(jnp.int32))
+    z = jnp.zeros_like(o1)
+    return jnp.where(valid, o1, z), jnp.where(valid, o2, z)
+
+
+def bwt_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """BWT symbol at each row (int32[B])."""
+    seg = arrays.bwt.shape[1]
+    s = r // seg
+    return arrays.bwt[s, r - s * seg].astype(jnp.int32)
+
+
+def lf_step(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """LF mapping: row of the suffix starting one position earlier.
+
+    LF(r) = C[BWT[r]] + occ(BWT[r], r) — the reference's back_query
+    (server.c:2228) as one batched op.
+    """
+    c = bwt_at(arrays, r)
+    return arrays.C[c] + occ(arrays, c, r)
+
+
+def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """bool[B]: is row r mark-sampled?"""
+    seg = arrays.bwt.shape[1]
+    words_per_seg = seg // 32
+    w = r // 32
+    word = arrays.mark_bits[w // words_per_seg, w % words_per_seg]
+    return ((word >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+
+
+def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """#marked rows before row r (index into mark_vals)."""
+    seg = arrays.bwt.shape[1]
+    words_per_seg = seg // 32
+    s = r // seg
+    base = arrays.mark_ckpt[s]
+    words = jnp.take(arrays.mark_bits, s, axis=0)  # [B, words_per_seg]
+    widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+    local_word = (r % seg) // 32
+    full = jnp.where(widx < local_word[:, None], words, jnp.uint32(0))
+    cnt_full = jnp.sum(jax.lax.population_count(full), axis=1).astype(jnp.int32)
+    word = words[jnp.arange(words.shape[0]), local_word]
+    mask = (jnp.uint32(1) << (r % 32).astype(jnp.uint32)) - jnp.uint32(1)
+    cnt_part = jax.lax.population_count(word & mask).astype(jnp.int32)
+    return base + cnt_full + cnt_part
+
+
+def mark_value(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """Sampled text offset stored for marked row r (undefined if unmarked)."""
+    return arrays.mark_vals[mark_rank(arrays, r)]

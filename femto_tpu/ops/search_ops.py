@@ -1,0 +1,176 @@
+"""Backward search, locate, and extraction as lockstep batched scans.
+
+The reference runs each query as a continuation-passing state machine over
+worker threads with row-sorted leaf-query batching (server.c:713-946,
+3093-3340).  On TPU the batch dimension *is* the request batching: B queries
+advance one character per step of a `lax.scan`, every step performing fused
+batched rank lookups.  This collapses FEMTO's scheduler + RB-tree + block
+cache into dense array ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import ALPHA_SIZE, CHARACTER_OFFSET
+from ..fmindex import FMArrays, FMMeta
+from . import rank as R
+
+
+def backward_search(arrays: FMArrays, n: int, pats: jax.Array):
+    """Batched FM count ranges.
+
+    pats: int32[B, P], right-aligned (pattern ends at column P-1), padded on
+    the left with -1.  Returns (first, last): int32[B] half-open row ranges;
+    count = last - first.  Classic loop (server.c:769-777) with the
+    [first,last) convention: first = C[c] + occ(c, first),
+    last = C[c] + occ(c, last).
+    """
+    B, P = pats.shape
+    first0 = jnp.zeros(B, dtype=jnp.int32)
+    last0 = jnp.full(B, n, dtype=jnp.int32)
+
+    cols = jnp.flip(pats, axis=1).T  # [P, B]: last char first
+
+    def step(carry, col):
+        first, last = carry
+        active = col >= 0
+        c = jnp.where(active, col, 0)
+        o1, o2 = R.occ2(arrays, c, first, last)
+        base = arrays.C[c]
+        nf = base + o1
+        nl = base + o2
+        first = jnp.where(active, nf, first)
+        last = jnp.where(active, nl, last)
+        return (first, last), None
+
+    (first, last), _ = jax.lax.scan(step, (first0, last0), cols)
+    return first, last
+
+
+def backward_search_steps(arrays: FMArrays, n: int, pats: jax.Array):
+    """Like backward_search but also returns, per query, the last non-empty
+    range and how many pattern chars matched before the range emptied — the
+    reference's prev_first/prev_last "too few matches" reporting
+    (server.c:830-941)."""
+    B, P = pats.shape
+    first0 = jnp.zeros(B, dtype=jnp.int32)
+    last0 = jnp.full(B, n, dtype=jnp.int32)
+    cols = jnp.flip(pats, axis=1).T
+
+    def step(carry, col):
+        first, last, pf, pl, matched = carry
+        active = (col >= 0) & (last > first)
+        c = jnp.where(active, col, 0)
+        o1, o2 = R.occ2(arrays, c, first, last)
+        base = arrays.C[c]
+        nf, nl = base + o1, base + o2
+        keep_prev = active & (nl > nf)
+        pf = jnp.where(keep_prev, nf, pf)
+        pl = jnp.where(keep_prev, nl, pl)
+        matched = matched + keep_prev.astype(jnp.int32)
+        first = jnp.where(active, nf, first)
+        last = jnp.where(active, nl, last)
+        return (first, last, pf, pl, matched), None
+
+    init = (first0, last0, first0, last0, jnp.zeros(B, jnp.int32))
+    (first, last, pf, pl, matched), _ = jax.lax.scan(step, init, cols)
+    return first, last, pf, pl, matched
+
+
+def locate_rows(arrays: FMArrays, mark_period: int, rows: jax.Array):
+    """Text offset of the suffix at each row, via LF-walk to a marked row.
+
+    The reference's locate (server.c:2228 back_query + LOCATE logic,
+    §3.3 of SURVEY.md): walk LF until the current row is marked; offset =
+    sampled value + steps walked.  All B rows walk in lockstep; finished
+    lanes idle.  Max steps = mark_period (doc starts are always marked).
+    """
+    B = rows.shape[0]
+
+    def body(i, st):
+        rows, offs, done = st
+        is_m = R.marked(arrays, rows) & (~done)
+        mv = R.mark_value(arrays, rows)
+        offs = jnp.where(is_m, mv + i, offs)
+        done = done | is_m
+        nxt = R.lf_step(arrays, rows)
+        rows = jnp.where(done, rows, nxt)
+        return rows, offs, done
+
+    offs0 = jnp.full(B, -1, dtype=jnp.int32)
+    done0 = jnp.zeros(B, dtype=bool)
+    _, offs, _ = jax.lax.fori_loop(0, mark_period + 1, body, (rows, offs0, done0))
+    return offs
+
+
+def extract_backward(arrays: FMArrays, rows: jax.Array, num_steps: int):
+    """Walk LF `num_steps` times from each row, collecting BWT symbols.
+
+    Returns (chars int32[B, num_steps], final_rows).  chars[:, t] is the
+    symbol `t+1` positions before each row's suffix start — i.e. the text
+    preceding the row, reversed.  This is the extract/context machinery
+    (server.c:2627 context_query) in batched form.
+    """
+
+    def step(rows, _):
+        c = R.bwt_at(arrays, rows)
+        nxt = arrays.C[c] + R.occ(arrays, c, rows)
+        return nxt, c
+
+    final_rows, chars = jax.lax.scan(step, rows, None, length=num_steps)
+    return chars.T, final_rows
+
+
+def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
+    """Batched select: smallest row x with rank(c, x+1) == k+1, i.e. the
+    (k+1)-th occurrence row of symbol c in the BWT.
+
+    Two-phase: binary search over segment checkpoints (occ_ckpt[:, c]
+    ascending in s), then an in-segment cumulative scan — the analog of the
+    reference's block_request_row select used by forward stepping
+    (index.c:1915)."""
+    n_seg, seg = arrays.bwt.shape
+    # Phase 1: find largest s with occ_ckpt[s, c] <= k  (rows before seg s).
+    lo = jnp.zeros_like(c)
+    hi = jnp.full_like(c, n_seg - 1)
+
+    def bs(_, st):
+        lo, hi = st
+        mid = (lo + hi + 1) // 2
+        v = arrays.occ_ckpt[mid, c]
+        go_right = v <= k
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid - 1)
+        return lo, hi
+
+    steps = int(np.ceil(np.log2(max(n_seg, 2)))) + 1
+    lo, _ = jax.lax.fori_loop(0, steps, bs, (lo, hi))
+    s = lo
+    base = arrays.occ_ckpt[s, c]
+    segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
+    is_c = (segdata == c[:, None]).astype(jnp.int32)
+    cum = jnp.cumsum(is_c, axis=1)  # occurrences up to and including column j
+    target = (k - base + 1)[:, None]
+    # first column where cum == target and is_c
+    hit = (cum == target) & (is_c == 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    col = jnp.min(jnp.where(hit, iota, seg), axis=1)
+    return s * seg + col
+
+
+def psi_step(arrays: FMArrays, n: int, rows: jax.Array):
+    """Forward stepping (inverse LF): row of the suffix one position later.
+
+    psi(r) = select(c, r - C[c]) where c = first symbol of row r's suffix
+    (found by searchsorted over C).  Reference: forward_query server.c:2424.
+    """
+    c = (
+        jnp.searchsorted(arrays.C, rows, side="right").astype(jnp.int32) - 1
+    )
+    k = rows - arrays.C[c]
+    return _select_char(arrays, n, c, k), c

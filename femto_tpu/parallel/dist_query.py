@@ -1,0 +1,190 @@
+"""Sharded query execution: index rows distributed over the mesh.
+
+The reference shards its index into blocks and routes leaf queries to block
+owners (SURVEY.md §5.7, index.h:195-197 HDR_BSEARCH_BLOCK_ROWS); the TPU
+analog shards the segment dimension of every row-indexed array and answers
+each batched rank query cooperatively: the shard owning a row computes its
+contribution, everyone else contributes zero, and one psum per step
+broadcasts the result — queries ride ICI instead of a scheduler.
+
+All functions here run INSIDE shard_map; `sharded_backward_search` wraps the
+jit + shard_map plumbing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..alphabet import ALPHA_SIZE
+from ..fmindex import FMArrays, FMMeta
+from .mesh import DEFAULT_AXIS
+
+
+def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
+               c: jax.Array, r: jax.Array) -> jax.Array:
+    """Local contribution to occ(c, r); psum'd by the caller."""
+    seg = arrays.bwt.shape[1]
+    me = jax.lax.axis_index(axis)
+    valid = (c >= 0) & (c < ALPHA_SIZE)
+    cc = jnp.where(valid, c, 0)
+    s = r // seg
+    sl = s - me * nseg_local
+    mine = valid & (sl >= 0) & (sl < nseg_local)
+    sl = jnp.where(mine, sl, 0)
+    off = r - s * seg
+    base = arrays.occ_ckpt[sl, cc]
+    segdata = jnp.take(arrays.bwt, sl, axis=0).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    within = jnp.sum(
+        (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
+    return jnp.where(mine, base + within, 0)
+
+
+def occ_sharded(arrays: FMArrays, nseg_local: int, axis: str,
+                c: jax.Array, r: jax.Array) -> jax.Array:
+    return jax.lax.psum(_occ_local(arrays, nseg_local, axis, c, r), axis)
+
+
+def bwt_at_sharded(arrays: FMArrays, nseg_local: int, axis: str,
+                   r: jax.Array) -> jax.Array:
+    seg = arrays.bwt.shape[1]
+    me = jax.lax.axis_index(axis)
+    s = r // seg
+    sl = s - me * nseg_local
+    mine = (sl >= 0) & (sl < nseg_local)
+    sl = jnp.where(mine, sl, 0)
+    v = arrays.bwt[sl, r - s * seg].astype(jnp.int32)
+    return jax.lax.psum(jnp.where(mine, v, 0), axis)
+
+
+def lf_step_sharded(arrays: FMArrays, nseg_local: int, axis: str,
+                    r: jax.Array) -> jax.Array:
+    c = bwt_at_sharded(arrays, nseg_local, axis, r)
+    return arrays.C[c] + occ_sharded(arrays, nseg_local, axis, c, r)
+
+
+def _backward_search_body(arrays: FMArrays, pats: jax.Array, *, n: int,
+                          nseg_local: int, axis: str):
+    B, P = pats.shape
+    first = jnp.zeros(B, dtype=jnp.int32)
+    last = jnp.full(B, n, dtype=jnp.int32)
+    cols = jnp.flip(pats, axis=1).T
+
+    def step(carry, col):
+        first, last = carry
+        active = col >= 0
+        c = jnp.where(active, col, 0)
+        o1 = occ_sharded(arrays, nseg_local, axis, c, first)
+        o2 = occ_sharded(arrays, nseg_local, axis, c, last)
+        base = arrays.C[c]
+        first = jnp.where(active, base + o1, first)
+        last = jnp.where(active, base + o2, last)
+        return (first, last), None
+
+    (first, last), _ = jax.lax.scan(step, (first, last), cols)
+    return first, last
+
+
+def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
+                 nseg_local: int, axis: str):
+    """Sharded locate: LF-walk to marked rows with mark metadata sharded."""
+    seg = arrays.bwt.shape[1]
+    me = jax.lax.axis_index(axis)
+    words_per_seg = seg // 32
+    n_marks_pad = arrays.mark_vals.shape[0]
+
+    def mark_info(r):
+        s = r // seg
+        sl = s - me * nseg_local
+        mine = (sl >= 0) & (sl < nseg_local)
+        sl = jnp.where(mine, sl, 0)
+        words = jnp.take(arrays.mark_bits, sl, axis=0)
+        w_local = (r % seg) // 32
+        widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+        full = jnp.where(widx < w_local[:, None], words, jnp.uint32(0))
+        cnt = jnp.sum(jax.lax.population_count(full), axis=1).astype(jnp.int32)
+        word = words[jnp.arange(words.shape[0]), w_local]
+        bit = ((word >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+        pmask = (jnp.uint32(1) << (r % 32).astype(jnp.uint32)) - jnp.uint32(1)
+        part = jax.lax.population_count(word & pmask).astype(jnp.int32)
+        grank = arrays.mark_ckpt[sl] + cnt + part
+        is_m = jax.lax.psum(jnp.where(mine, bit.astype(jnp.int32), 0), axis) > 0
+        grank = jax.lax.psum(jnp.where(mine, grank, 0), axis)
+        # mark_vals replicated (small); direct lookup
+        mv = arrays.mark_vals[jnp.minimum(grank, n_marks_pad - 1)]
+        return is_m, mv
+
+    B = rows.shape[0]
+
+    def body(i, st):
+        rows, offs, done = st
+        is_m, mv = mark_info(rows)
+        hit = is_m & (~done)
+        offs = jnp.where(hit, mv + i, offs)
+        done = done | hit
+        nxt = lf_step_sharded(arrays, nseg_local, axis, rows)
+        rows = jnp.where(done, rows, nxt)
+        return rows, offs, done
+
+    offs0 = jnp.full(B, -1, dtype=jnp.int32)
+    done0 = jnp.zeros(B, dtype=bool)
+    _, offs, _ = jax.lax.fori_loop(0, mark_period + 1, body,
+                                   (rows, offs0, done0))
+    return offs
+
+
+def _specs_for_arrays(axis: str):
+    """PartitionSpecs matching build_index_sharded's placement."""
+    return FMArrays(
+        bwt=P(axis, None),
+        occ_ckpt=P(axis, None),
+        C=P(),
+        mark_bits=P(axis, None),
+        mark_ckpt=P(axis),
+        mark_vals=P(),
+        doc_starts=P(),
+        doc_seof_rows=P(),
+    )
+
+
+def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
+                            axis: str = DEFAULT_AXIS):
+    """Count ranges with the index sharded across `mesh`.
+
+    pats: int32[B, P] right-aligned (-1 padded).  Returns (first, last).
+    """
+    meta: FMMeta = index.meta
+    D = mesh.devices.size
+    nseg_local = meta.n_seg // D
+    fn = functools.partial(
+        _backward_search_body, n=meta.n, nseg_local=nseg_local, axis=axis
+    )
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(_specs_for_arrays(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)(index.arrays, jnp.asarray(pats))
+
+
+def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
+                   axis: str = DEFAULT_AXIS):
+    meta: FMMeta = index.meta
+    D = mesh.devices.size
+    nseg_local = meta.n_seg // D
+    fn = functools.partial(
+        _locate_body, mark_period=meta.mark_period,
+        nseg_local=nseg_local, axis=axis,
+    )
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(_specs_for_arrays(axis), P()),
+        out_specs=P(),
+    )
+    return jax.jit(mapped)(index.arrays, jnp.asarray(rows))

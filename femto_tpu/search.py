@@ -1,0 +1,171 @@
+"""High-level query API: count / locate / extract over an FMIndex.
+
+This is the user-facing analog of the reference's femto.h request layer
+(/root/reference/src/main/femto.h:86-139) minus the server plumbing (which
+lives in femto_tpu/server).  Patterns are byte strings; batching, padding to
+static shapes, and jit caching are handled here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .alphabet import CHARACTER_OFFSET, pattern_to_alpha
+from .fmindex import FMIndex
+from .ops import search_ops as S
+from .ops import rank as R
+
+
+def _bucket(x: int, minimum: int = 8) -> int:
+    """Round up to a power of two to bound jit specializations."""
+    b = minimum
+    while b < x:
+        b *= 2
+    return b
+
+
+def pack_patterns(
+    patterns: Sequence[np.ndarray], pad_b: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Right-align alpha-coded patterns into int32[B, P] padded with -1."""
+    B = len(patterns)
+    P = max((len(p) for p in patterns), default=1)
+    P = max(P, 1)
+    Bp = pad_b if pad_b is not None else _bucket(B)
+    Pp = _bucket(P, minimum=4)
+    out = np.full((Bp, Pp), -1, dtype=np.int32)
+    for i, p in enumerate(patterns):
+        if len(p):
+            out[i, Pp - len(p):] = p
+    return out, B
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _count_jit(arrays, n, pats):
+    first, last = S.backward_search(arrays, n, pats)
+    return first, last
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mark_period"))
+def _locate_jit(arrays, n, mark_period, rows):
+    return S.locate_rows(arrays, mark_period, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _docs_jit(arrays, n, offs):
+    doc = jnp.searchsorted(arrays.doc_starts, offs, side="right").astype(jnp.int32) - 1
+    doc_off = offs - arrays.doc_starts[doc]
+    return doc, doc_off
+
+
+@functools.partial(jax.jit, static_argnames=("n", "num_steps"))
+def _extract_jit(arrays, n, rows, num_steps):
+    return S.extract_backward(arrays, rows, num_steps)
+
+
+def count_ranges(
+    index: FMIndex, patterns: Sequence[bytes]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Row ranges [first, last) for each pattern."""
+    if not patterns:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pats, B = pack_patterns([pattern_to_alpha(p) for p in patterns])
+    first, last = _count_jit(index.arrays, index.meta.n, jnp.asarray(pats))
+    return np.asarray(first)[:B].astype(np.int64), np.asarray(last)[:B].astype(np.int64)
+
+
+def count(index: FMIndex, patterns: Sequence[bytes]) -> np.ndarray:
+    """Number of occurrences of each pattern across the corpus."""
+    first, last = count_ranges(index, patterns)
+    return last - first
+
+
+def locate_range(
+    index: FMIndex, first: int, last: int, max_matches: Optional[int] = None
+) -> np.ndarray:
+    """Text offsets for all rows in [first, last), ascending by row."""
+    m = int(last - first)
+    if max_matches is not None:
+        m = min(m, max_matches)
+    if m <= 0:
+        return np.zeros(0, dtype=np.int64)
+    Bp = _bucket(m)
+    rows = np.full(Bp, 0, dtype=np.int32)
+    rows[:m] = np.arange(first, first + m, dtype=np.int32)
+    offs = _locate_jit(
+        index.arrays, index.meta.n, index.meta.mark_period, jnp.asarray(rows)
+    )
+    return np.asarray(offs)[:m].astype(np.int64)
+
+
+def offsets_to_docs(
+    index: FMIndex, offs: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Map global text offsets to (doc_id, offset_in_doc)."""
+    if offs.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    doc = np.searchsorted(index.doc_starts_np, offs, side="right") - 1
+    doc_off = offs - index.doc_starts_np[doc]
+    return doc.astype(np.int64), doc_off.astype(np.int64)
+
+
+def locate(
+    index: FMIndex, pattern: bytes, max_matches: Optional[int] = None
+) -> List[Tuple[int, int]]:
+    """All (doc_id, offset) matches of pattern, sorted."""
+    first, last = count_ranges(index, [pattern])
+    offs = locate_range(index, int(first[0]), int(last[0]), max_matches)
+    doc, doc_off = offsets_to_docs(index, offs)
+    return sorted(zip(doc.tolist(), doc_off.tolist()))
+
+
+def extract_document(index: FMIndex, doc_id: int) -> bytes:
+    """Reconstruct document bytes purely from the index (self-indexing),
+    via a backward LF walk from the document's SEOF row — the analog of
+    extract_document_query (server.h:399-406)."""
+    dlen = int(index.doc_starts_np[doc_id + 1] - index.doc_starts_np[doc_id]) - 1
+    if dlen == 0:
+        return b""
+    row = int(np.asarray(index.arrays.doc_seof_rows)[doc_id])
+    rows = jnp.asarray(np.array([row], dtype=np.int32))
+    chars, _ = _extract_jit(index.arrays, index.meta.n, rows, dlen)
+    seq = np.asarray(chars)[0][::-1]  # reverse: walk was backwards
+    return (seq - CHARACTER_OFFSET).astype(np.uint8).tobytes()
+
+
+def extract_context(
+    index: FMIndex, row: int, before: int, pattern_len: int, after: int
+) -> bytes:
+    """Bytes around a match row: `before` chars of left context, the match,
+    and `after` chars of right context (context_query, server.c:2627).
+    Stops at document boundaries (SEOF) like the reference."""
+    n = index.meta.n
+    before_b = _bucket(max(before, 1))
+    rows = jnp.asarray(np.array([row], dtype=np.int32))
+    chars, _ = _extract_jit(index.arrays, n, rows, before_b)
+    left = np.asarray(chars)[0][:before][::-1]
+    # forward: psi-walk collecting first chars.
+    out = []
+    r = np.int32(row)
+    rr = jnp.asarray(np.array([row], dtype=np.int32))
+    for _ in range(pattern_len + after):
+        nxt, c = S.psi_step(index.arrays, n, rr)
+        cv = int(np.asarray(c)[0])
+        if cv < CHARACTER_OFFSET:
+            break
+        out.append(cv)
+        rr = nxt
+    # trim left context at doc boundary
+    cut = 0
+    for i, v in enumerate(left[::-1]):
+        if v < CHARACTER_OFFSET:
+            cut = len(left) - i
+            break
+    left = left[cut:]
+    seq = np.concatenate([left, np.asarray(out, dtype=np.int64)])
+    return (seq - CHARACTER_OFFSET).astype(np.uint8).tobytes()

@@ -1,0 +1,102 @@
+"""Core end-to-end tests: suffix array, BWT, count, locate, extract."""
+
+import numpy as np
+import pytest
+
+import femto_tpu as ft
+from femto_tpu.suffix import suffix_array_np
+from tests.oracle import naive_count, naive_locate
+
+
+def make_docs(rng, ndocs=6, maxlen=200, alphabet=b"abcd"):
+    docs = []
+    for _ in range(ndocs):
+        L = int(rng.integers(0, maxlen))
+        docs.append(bytes(rng.choice(list(alphabet), size=L).astype(np.uint8)))
+    return docs
+
+
+def test_suffix_array_matches_oracle(rng):
+    import jax.numpy as jnp
+
+    for trial in range(5):
+        n = int(rng.integers(2, 400))
+        text = rng.integers(1, 6, size=n).astype(np.int32)
+        sa = np.asarray(ft.suffix_array(jnp.asarray(text)))
+        sa_ref = suffix_array_np(text)
+        np.testing.assert_array_equal(sa, sa_ref)
+
+
+def test_suffix_array_repetitive(rng):
+    import jax.numpy as jnp
+
+    # highly repetitive input stresses doubling termination
+    text = np.array([2, 2, 2, 2, 2, 2, 2, 1], dtype=np.int32)
+    sa = np.asarray(ft.suffix_array(jnp.asarray(text)))
+    np.testing.assert_array_equal(sa, suffix_array_np(text))
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    rng = np.random.default_rng(7)
+    docs = [
+        b"",
+        b"\x00\x01\x00",
+        bytes(range(256)),
+        b"banana banana banana",
+        b"the quick brown fox jumps over the lazy dog",
+    ] + make_docs(rng, ndocs=5, maxlen=300, alphabet=b"abn \x00\xff")
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=8)
+    return docs, index
+
+
+def test_count_parity(small_index, rng):
+    docs, index = small_index
+    pats = [b"banana", b"an", b"a", b"zzz", b"\x00", b"the", b" ", b"na b"]
+    # plus substrings of the docs themselves
+    for d in docs:
+        if len(d) >= 3:
+            pats.append(d[:3])
+            pats.append(d[len(d) // 2 : len(d) // 2 + 4])
+    counts = ft.count(index, pats)
+    for p, c in zip(pats, counts):
+        assert c == naive_count(docs, p), (p, c, naive_count(docs, p))
+
+
+def test_locate_parity(small_index):
+    docs, index = small_index
+    for p in [b"banana", b"an", b"the", b"\x00", b"fox", b"q"]:
+        got = ft.locate(index, p)
+        want = naive_locate(docs, p)
+        assert got == want, (p, got, want)
+
+
+def test_empty_pattern(small_index):
+    docs, index = small_index
+    assert ft.count(index, [b""])[0] == index.meta.n
+
+
+def test_extract_document(small_index):
+    docs, index = small_index
+    for di in range(len(docs)):
+        assert ft.extract_document(index, di) == docs[di]
+
+
+def test_extract_context(small_index):
+    docs, index = small_index
+    first, last = ft.count_ranges(index, [b"quick"])
+    assert last[0] - first[0] == 1
+    ctx = ft.extract_context(index, int(first[0]), before=4, pattern_len=5, after=6)
+    assert ctx == b"the quick brown"
+
+
+def test_save_load(small_index, tmp_path):
+    docs, index = small_index
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = ft.FMIndex.load(path)
+    np.testing.assert_array_equal(
+        ft.count(loaded, [b"banana", b"an"]), ft.count(index, [b"banana", b"an"])
+    )
+    assert loaded.infos == index.infos

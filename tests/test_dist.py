@@ -1,0 +1,187 @@
+"""Distributed (8-virtual-device mesh) tests: exchange, sort, build, query.
+
+The analog of the reference's single-host MPI tests (mpi_utils_test.cc run
+under mpirun, SURVEY.md §4.3) — collectives exercised on a virtual CPU mesh.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import femto_tpu as ft
+from femto_tpu.parallel import bins
+from femto_tpu.parallel.dist_sort import dist_sort as _dist_sort
+from femto_tpu.parallel.mesh import make_mesh, DEFAULT_AXIS
+from femto_tpu.parallel.dist_build import (
+    build_index_sharded,
+    dist_suffix_array,
+    pad_text_for_mesh,
+)
+from femto_tpu.parallel.dist_query import sharded_backward_search, sharded_locate
+from femto_tpu.search import pack_patterns
+from femto_tpu.suffix import suffix_array_np
+from femto_tpu.alphabet import pattern_to_alpha
+from tests.oracle import naive_count, naive_locate
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= D, "need 8 virtual devices"
+    return make_mesh(D)
+
+
+def test_exchange_roundtrip(mesh, rng):
+    m = 64
+    vals = rng.integers(0, 1000, size=(D * m,)).astype(np.int32)
+    dest = rng.integers(0, D, size=(D * m,)).astype(np.int32)
+
+    def f(v, d):
+        (rv,), valid, of = bins.exchange(d, [v], cap=m, axis=DEFAULT_AXIS)
+        return rv, valid, of
+
+    g = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS)),
+        out_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS), P()),
+    ))
+    rv, valid, of = g(jnp.asarray(vals), jnp.asarray(dest))
+    assert int(of) <= 0
+    rv, valid = np.asarray(rv).reshape(D, -1), np.asarray(valid).reshape(D, -1)
+    for d in range(D):
+        got = sorted(rv[d][valid[d]].tolist())
+        want = sorted(vals[dest == d].tolist())
+        assert got == want
+
+
+def test_valiant_exchange_pair_concentrated(mesh, rng):
+    # adversarial per-pair concentration with balanced totals: every element
+    # of source s is destined to device (s+1)%D.  Single-hop dense exchange
+    # would need cap=m for the (s, s+1) pair; Valiant spreads each pair's
+    # load to ~m/D.
+    m = 256
+    vals = np.arange(D * m, dtype=np.int32)
+    dest = ((np.arange(D * m) // m + 1) % D).astype(np.int32)
+
+    def f(v, d, key):
+        recs, valid, of = bins.valiant_exchange(
+            d, [v], cap=2 * m // D + 64, axis=DEFAULT_AXIS, key=key
+        )
+        return recs[0], valid, of
+
+    g = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS), P()),
+        out_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS), P()),
+    ))
+    rv, valid, of = g(jnp.asarray(vals), jnp.asarray(dest),
+                      jax.random.PRNGKey(1))
+    assert int(of) <= 0
+    rv, valid = np.asarray(rv).reshape(D, -1), np.asarray(valid).reshape(D, -1)
+    for d in range(D):
+        got = sorted(rv[d][valid[d]].tolist())
+        want = sorted(vals[dest == d].tolist())
+        assert got == want
+
+
+def test_dist_sort_random(mesh, rng):
+    m = 128
+    k1 = rng.integers(0, 50, size=(D * m,)).astype(np.int32)  # many ties
+    idx = np.arange(D * m, dtype=np.int32)
+
+    def f(a, b):
+        (s1, s2), _, of = _dist_sort((a, b), (), DEFAULT_AXIS, cap=m)
+        return s1, s2, of
+
+    g = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS)),
+        out_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS), P()),
+    ))
+    s1, s2, of = g(jnp.asarray(k1), jnp.asarray(idx))
+    assert int(of) <= 0
+    order = np.lexsort((idx, k1))
+    np.testing.assert_array_equal(np.asarray(s1), k1[order])
+    np.testing.assert_array_equal(np.asarray(s2), idx[order])
+
+
+def test_dist_sort_adversarial_sorted_input(mesh):
+    # already-sorted input: maximal owner-exchange concentration
+    m = 128
+    k1 = np.arange(D * m, dtype=np.int32)
+    idx = np.arange(D * m, dtype=np.int32)
+
+    def f(a, b):
+        (s1, s2), _, of = _dist_sort((a, b), (), DEFAULT_AXIS, cap=m)
+        return s1, s2, of
+
+    g = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS)),
+        out_specs=(P(DEFAULT_AXIS), P(DEFAULT_AXIS), P()),
+    ))
+    s1, s2, of = g(jnp.asarray(k1), jnp.asarray(idx))
+    assert int(of) <= 0
+    np.testing.assert_array_equal(np.asarray(s1), k1)
+
+
+def test_dist_suffix_array(mesh, rng):
+    for trial in range(3):
+        n = int(rng.integers(50, 800))
+        text = rng.integers(1, 7, size=n).astype(np.int32)
+        text_pad, n_pad = pad_text_for_mesh(text, D, seg=32)
+        sa, bwt, of = dist_suffix_array(
+            jax.device_put(jnp.asarray(text_pad),
+                           jax.NamedSharding(mesh, P(DEFAULT_AXIS))),
+            mesh, n=n,
+        )
+        assert int(of) <= 0
+        pad = n_pad - n
+        sa_np = np.asarray(sa)[pad:]
+        np.testing.assert_array_equal(sa_np, suffix_array_np(text))
+        # BWT check on real rows
+        bwt_np = np.asarray(bwt)[pad:]
+        prev = np.where(sa_np == 0, n_pad - 1, sa_np - 1)
+        want = np.where(prev >= n, 0, text[np.minimum(prev, n - 1)])
+        np.testing.assert_array_equal(bwt_np, want)
+
+
+@pytest.fixture(scope="module")
+def sharded_index(mesh):
+    rng = np.random.default_rng(42)
+    docs = [
+        b"the quick brown fox jumps over the lazy dog",
+        b"banana banana banana",
+        b"",
+        bytes(rng.integers(0, 256, size=500).astype(np.uint8)),
+        b"abracadabra" * 10,
+    ]
+    prepared = ft.prepare_documents(docs)
+    index = build_index_sharded(prepared, mesh, seg=32, mark_period=8)
+    return docs, index
+
+
+def test_sharded_count(sharded_index, mesh):
+    docs, index = sharded_index
+    pats = [b"banana", b"the", b"abra", b"zz", b"a"]
+    packed, B = pack_patterns([pattern_to_alpha(p) for p in pats])
+    first, last = sharded_backward_search(index, mesh, packed)
+    counts = (np.asarray(last) - np.asarray(first))[:B]
+    for p, c in zip(pats, counts):
+        assert c == naive_count(docs, p), (p, c)
+
+
+def test_sharded_locate(sharded_index, mesh):
+    docs, index = sharded_index
+    packed, _ = pack_patterns([pattern_to_alpha(b"abra")])
+    first, last = sharded_backward_search(index, mesh, packed)
+    f, l = int(np.asarray(first)[0]), int(np.asarray(last)[0])
+    rows = np.arange(f, l, dtype=np.int32)
+    pad = 8 - len(rows) % 8 if len(rows) % 8 else 0
+    rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+    offs = np.asarray(sharded_locate(index, mesh, rows))[: l - f]
+    doc, doc_off = ft.offsets_to_docs(index, offs.astype(np.int64))
+    got = sorted(zip(doc.tolist(), doc_off.tolist()))
+    assert got == naive_locate(docs, b"abra")
