@@ -1,0 +1,148 @@
+"""Query execution: parsed AST -> device-batched index operations.
+
+The high-level analog of the reference's results-query layer
+(string_results_query server.c:4927, regexp_results_query :5082,
+generic_boolean_query server.h:591-598): string terms run one batched
+backward search; regexp/approx terms run the frontier engine; Boolean
+nodes combine Results sets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..fmindex import FMIndex
+from ..search import count_ranges, locate_range, offsets_to_docs
+from .ast import (
+    ApproxSettings,
+    QAnd,
+    QNode,
+    QNot,
+    QOr,
+    QTerm,
+    QThen,
+    QWithin,
+    as_literal,
+)
+from .nfa import compile_nfa
+from .parser import parse_query
+from .regexp import RegexpMatch, match_rows, run_regexp
+from .results import (
+    Results,
+    ResultType,
+    intersect,
+    subtract,
+    then_within,
+    union,
+)
+
+
+def term_ranges(index: FMIndex, term: QTerm,
+                max_results: int = 10000) -> List[Tuple[int, int, int]]:
+    """Row ranges (first, last, cost) matching a term."""
+    lit = as_literal(term.regexp)
+    if lit is not None and term.approx.cost_bound <= 1:
+        first, last = count_ranges(index, [lit])
+        f, l = int(first[0]), int(last[0])
+        return [(f, l, 0)] if l > f else []
+    nfa = compile_nfa(term.regexp)
+    matches = run_regexp(index, nfa, term.approx, max_results=max_results)
+    return [(m.first, m.last, m.cost) for m in matches]
+
+
+def find_strings(index: FMIndex, query: str,
+                 max_results: int = 10000) -> List[RegexpMatch]:
+    """femto.h find_strings: matching strings with ranges and costs."""
+    node = parse_query(query)
+    if not isinstance(node, QTerm):
+        raise ValueError("find_strings takes a single term, not a boolean")
+    lit = as_literal(node.regexp)
+    if lit is not None and node.approx.cost_bound <= 1:
+        first, last = count_ranges(index, [lit])
+        f, l = int(first[0]), int(last[0])
+        return [RegexpMatch(f, l, 0, lit)] if l > f else []
+    nfa = compile_nfa(node.regexp)
+    return run_regexp(index, nfa, node.approx, max_results=max_results)
+
+
+def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
+                 max_matches: Optional[int] = None) -> Results:
+    ranges = term_ranges(index, term)
+    # union of match row intervals (distinct matching positions)
+    iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
+    total = sum(l - f for f, l in iv)
+    docs_all, offs_all = [], []
+    budget = max_matches
+    for f, l in iv:
+        take = l - f if budget is None else min(l - f, budget)
+        if take <= 0:
+            break
+        offs = locate_range(index, f, f + take)
+        d, o = offsets_to_docs(index, offs)
+        docs_all.append(d)
+        offs_all.append(o)
+        if budget is not None:
+            budget -= take
+    if docs_all:
+        docs = np.concatenate(docs_all)
+        offs = np.concatenate(offs_all)
+    else:
+        docs = np.zeros(0, np.int64)
+        offs = np.zeros(0, np.int64)
+    res = Results.from_doc_offsets(docs, offs)
+    res.count = total
+    return res
+
+
+def execute(index: FMIndex, node: QNode, need_offsets: bool = True,
+            max_matches: Optional[int] = None) -> Results:
+    """Evaluate a Boolean/regexp query tree to a Results set."""
+    if isinstance(node, QTerm):
+        return term_results(index, node, need_offsets, max_matches)
+    a = execute(index, node.left, need_offsets, max_matches)
+    b = execute(index, node.right, need_offsets, max_matches)
+    if isinstance(node, QAnd):
+        return intersect(a, b)
+    if isinstance(node, QOr):
+        return union(a, b)
+    if isinstance(node, QNot):
+        return subtract(a, b)
+    if isinstance(node, QThen):
+        return then_within(a, b, node.distance, ordered=True)
+    if isinstance(node, QWithin):
+        return then_within(a, b, node.distance, ordered=False)
+    raise TypeError(node)
+
+
+def count_query(index: FMIndex, query: str) -> int:
+    """Total matching positions for a (term) query; for Boolean queries,
+    the number of matching documents."""
+    node = parse_query(query)
+    if isinstance(node, QTerm):
+        iv = match_rows(
+            [RegexpMatch(f, l, c, b"") for f, l, c in term_ranges(index, node)]
+        )
+        return sum(l - f for f, l in iv)
+    res = execute(index, node)
+    return len(res.doc_set())
+
+
+def docs_query(index: FMIndex, query: str,
+               max_matches: Optional[int] = None,
+               with_offsets: bool = True):
+    """find_docs: list of (doc_id, info, offsets) matching the query."""
+    node = parse_query(query)
+    res = execute(index, node, need_offsets=with_offsets,
+                  max_matches=max_matches)
+    out = []
+    for d in res.doc_set():
+        if res.type == ResultType.DOC_OFFSETS:
+            offs = res.offsets[res.docs == d].tolist()
+        else:
+            offs = []
+        out.append((int(d), index.infos[int(d)], offs))
+        if max_matches is not None and len(out) >= max_matches:
+            break
+    return out

@@ -1,0 +1,173 @@
+"""Query language + regex engine tests, differential against Python `re`."""
+
+import re
+
+import numpy as np
+import pytest
+
+import femto_tpu as ft
+from femto_tpu.query import parse_query, compile_nfa
+from femto_tpu.query.ast import QTerm, QAnd, QOr, QNot, QThen, QWithin, as_literal
+from femto_tpu.query.engine import count_query, docs_query, find_strings
+from femto_tpu.query.regexp import run_regexp, match_rows
+from tests.oracle import naive_count, naive_docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(3)
+    docs = [
+        b"the quick brown fox jumps over the lazy dog",
+        b"pack my box with five dozen liquor jugs",
+        b"sheep black sheep baa baa black",
+        b"abcabcabcabc",
+        b"banana bandana bananas",
+        bytes(rng.integers(97, 103, size=400).astype(np.uint8)),  # a..f soup
+    ]
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=8)
+    return docs, index
+
+
+def regex_count(docs, pattern: str) -> int:
+    """Distinct match-start positions across docs (overlapping starts)."""
+    pat = re.compile(pattern.encode(), re.DOTALL)
+    total = 0
+    for d in docs:
+        for i in range(len(d)):
+            if pat.match(d, i):
+                total += 1
+    return total
+
+
+def regex_docs(docs, pattern: str):
+    pat = re.compile(pattern.encode(), re.DOTALL)
+    return sorted(
+        di for di, d in enumerate(docs)
+        if any(pat.match(d, i) for i in range(len(d)))
+    )
+
+
+# ---------- parser ----------
+
+def test_parse_literal_concat():
+    node = parse_query("black sheep")
+    assert isinstance(node, QTerm)
+    assert as_literal(node.regexp) == b"blacksheep"
+
+
+def test_parse_quoting():
+    assert as_literal(parse_query(r"black\ sheep").regexp) == b"black sheep"
+    assert as_literal(parse_query('"black sheep"').regexp) == b"black sheep"
+    assert as_literal(parse_query("'bl\\ack'").regexp) == b"bl\\ack"
+    assert as_literal(parse_query(r"\x41\x42").regexp) == b"AB"
+    assert as_literal(parse_query("{x 41 42 }").regexp) == b"AB"
+    assert as_literal(parse_query("{x4142}").regexp) == b"AB"
+    assert as_literal(parse_query(r"\n\t").regexp) == b"\n\t"
+
+
+def test_parse_boolean():
+    node = parse_query("black AND sheep")
+    assert isinstance(node, QAnd)
+    node = parse_query("black THEN 20 sheep")
+    assert isinstance(node, QThen) and node.distance == 20
+    node = parse_query("(black AND sheep) OR dog")
+    assert isinstance(node, QOr) and isinstance(node.left, QAnd)
+    node = parse_query("a AND b OR c")  # left-assoc
+    assert isinstance(node, QOr) and isinstance(node.left, QAnd)
+
+
+def test_parse_approx():
+    node = parse_query("APPROX 2 blacksheep")
+    assert isinstance(node, QTerm) and node.approx.cost_bound == 3
+    node = parse_query("APPROX 1:2:1:2 blacksheep")
+    assert node.approx.subst_cost == 2 and node.approx.insert_cost == 2
+    node = parse_query("APPROX blacksheep")
+    assert node.approx.cost_bound == 2
+
+
+# ---------- exact regexp over index ----------
+
+@pytest.mark.parametrize("q,py", [
+    ("quick", "quick"),
+    ("ban(ana|dana)", "ban(ana|dana)"),
+    ("ba+", "ba+"),
+    ("b.x", "b.x"),
+    ("[bl]a", "[bl]a"),
+    ("ab[cd]ab", "ab[cd]ab"),
+    ("shee?p", "shee?p"),
+    ("a{2,3}", "a{2,3}"),
+    ("(abc){2}", "(abc){2}"),
+    ("[^a-z]", "[^a-z]"),
+])
+def test_regexp_count_parity(corpus, q, py):
+    docs, index = corpus
+    assert count_query(index, q) == regex_count(docs, py), q
+
+
+def test_regexp_docs_parity(corpus):
+    docs, index = corpus
+    for q, py in [("ban(ana|dana)", "ban(ana|dana)"), ("b.x", "b.x")]:
+        got = [d for d, _, _ in docs_query(index, q)]
+        assert got == regex_docs(docs, py), q
+
+
+def test_find_strings(corpus):
+    docs, index = corpus
+    ms = find_strings(index, "ban(ana|dana)a?")
+    strings = sorted(m.match for m in ms)
+    assert b"banana" in strings and b"bandana" in strings
+
+
+# ---------- boolean ----------
+
+def test_boolean_queries(corpus):
+    docs, index = corpus
+    got = [d for d, _, _ in docs_query(index, "black AND sheep")]
+    assert got == sorted(set(naive_docs(docs, b"black")) & set(naive_docs(docs, b"sheep")))
+    got = [d for d, _, _ in docs_query(index, "black OR quick")]
+    assert got == sorted(set(naive_docs(docs, b"black")) | set(naive_docs(docs, b"quick")))
+    got = [d for d, _, _ in docs_query(index, "ba NOT sheep")]
+    assert got == sorted(set(naive_docs(docs, b"ba")) - set(naive_docs(docs, b"sheep")))
+
+
+def test_then_within(corpus):
+    docs, index = corpus
+    # "black THEN 6 sheep": sheep starts within 6 chars after black's start
+    got = [d for d, _, _ in docs_query(index, "black THEN 6 sheep")]
+    assert got == [2]
+    # sheep comes before black in doc2 within 6: WITHIN should also match
+    got = [d for d, _, _ in docs_query(index, "sheep WITHIN 6 black")]
+    assert got == [2]
+    got = [d for d, _, _ in docs_query(index, "sheep THEN 2 black")]
+    assert got == []
+
+
+# ---------- approximate ----------
+
+def test_approx_basic(corpus):
+    docs, index = corpus
+    # exact matches are always returned
+    assert count_query(index, "APPROX 1 quick") >= 1
+    # one substitution: "quack" ~ "quick"
+    ms = find_strings(index, "APPROX 1 quack")
+    assert any(m.match == b"quick" for m in ms)
+    # deletion: pattern "quicck" matches text "quick" (char missing in data)
+    ms = find_strings(index, "APPROX 1 quicck")
+    assert any(m.match == b"quick" for m in ms)
+    # insertion: pattern "quck" matches text "quick" (extra char in data)
+    ms = find_strings(index, "APPROX 1 quck")
+    assert any(m.match == b"quick" for m in ms)
+    # cost 0 for exact even with approx on
+    ms = find_strings(index, "APPROX 1 quick")
+    exact = [m for m in ms if m.match == b"quick"]
+    assert exact and exact[0].cost == 0
+
+
+def test_approx_costs(corpus):
+    docs, index = corpus
+    # deletions only (subst and insert cost 2 > bound 1)
+    ms = find_strings(index, "APPROX 1:2:1:2 quicck")
+    assert any(m.match == b"quick" for m in ms)
+    ms = find_strings(index, "APPROX 1:2:1:2 quack")  # needs subst: no match
+    assert not any(m.match == b"quick" for m in ms)
