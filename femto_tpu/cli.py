@@ -1,0 +1,300 @@
+"""Command-line tools: the femto tool-suite equivalents.
+
+Reference tools (SURVEY.md §2.9): femto_index, femto_search, femto_extract,
+femto_scan, femto_size, femto_suffix_sort, femto_flatten, femto_info,
+femto_multiquery, femto_common, femto_similar.  Here one `femto-tpu`
+multi-command binary:
+
+  femto-tpu index   OUT --input PATH... [--fasta] [--seg N] [--mark-period N]
+  femto-tpu search  INDEX QUERY [--count|--offsets|--matches|--docs] ...
+  femto-tpu extract INDEX (--doc N | --all)
+  femto-tpu scan    QUERY PATH...
+  femto-tpu size    PATH...
+  femto-tpu suffix-sort IN OUT
+  femto-tpu flatten INDEXDIR OUTFILE
+  femto-tpu info    INDEX
+  femto-tpu multiquery INDEX QUERYFILE [--locate]
+  femto-tpu common  INDEX --length N [--top N]
+  femto-tpu similar INDEX FILE...
+  femto-tpu serve   INDEX [--port P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_index(path: str):
+    from .fmindex import FMIndex
+
+    return FMIndex.load(path)
+
+
+def cmd_index(args) -> int:
+    from .fmindex import build_index
+    from .io.corpus import read_corpus, read_fasta
+
+    t0 = time.time()
+    if args.fasta:
+        prepared = read_fasta(args.input)
+    else:
+        prepared = read_corpus(args.input, max_bytes=args.max_bytes)
+    print(f"read {prepared.num_docs} docs, {prepared.n} symbols",
+          file=sys.stderr)
+    index = build_index(prepared, seg=args.seg, mark_period=args.mark_period)
+    if args.out.endswith(".ftpu"):
+        index.save_flat(args.out)
+    else:
+        index.save(args.out)
+    dt = time.time() - t0
+    print(f"indexed {prepared.n/1e6:.2f}M symbols in {dt:.1f}s "
+          f"({prepared.n/dt/1e6:.2f} MB/s) -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .query.engine import count_query, docs_query, find_strings
+
+    index = _load_index(args.index)
+    for query in args.query:
+        if args.matches:
+            for m in find_strings(index, query, max_results=args.max_results):
+                print(f"[{m.first},{m.last}) cost={m.cost} "
+                      f"match={m.match!r} count={m.last - m.first}")
+        elif args.count:
+            print(f"{count_query(index, query)} {query}")
+        else:
+            rows = docs_query(index, query, max_matches=args.max_results,
+                              with_offsets=args.offsets)
+            for doc, info, offsets in rows:
+                if args.offsets:
+                    print(f"{info.decode('utf-8', 'replace')} "
+                          f"{' '.join(map(str, offsets))}")
+                else:
+                    print(info.decode("utf-8", "replace"))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from .search import extract_document
+
+    index = _load_index(args.index)
+    docs = range(index.num_docs) if args.all else [args.doc]
+    for d in docs:
+        data = extract_document(index, d)
+        sys.stdout.buffer.write(data)
+        if args.all:
+            sys.stdout.buffer.write(b"\n")
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from .tools import scan_files
+
+    for path, off, match in scan_files(args.query, args.path,
+                                       max_matches=args.max_results):
+        print(f"{path}:{off} {match!r}")
+    return 0
+
+
+def cmd_size(args) -> int:
+    from .io.corpus import iter_files
+    import os
+
+    total, nfiles = 0, 0
+    for fp in iter_files(args.path):
+        total += os.path.getsize(fp)
+        nfiles += 1
+    print(f"{nfiles} files, {total} bytes")
+    return 0
+
+
+def cmd_suffix_sort(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .suffix import suffix_array
+    from .alphabet import bytes_to_alpha
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    text = bytes_to_alpha(data).astype(np.int32)
+    sa = np.asarray(suffix_array(jnp.asarray(text)))
+    sa.astype(np.int64).tofile(args.out)
+    print(f"wrote {len(sa)} suffix offsets to {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_flatten(args) -> int:
+    index = _load_index(args.index)
+    index.save_flat(args.out)
+    print(f"flattened -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    import dataclasses
+
+    index = _load_index(args.index)
+    meta = dataclasses.asdict(index.meta)
+    meta["num_docs"] = index.num_docs
+    meta["doc_infos"] = [i.decode("utf-8", "replace")
+                         for i in index.infos[:20]]
+    print(json.dumps(meta, indent=2))
+    return 0
+
+
+def cmd_multiquery(args) -> int:
+    """Batch count/locate driver (femto_multiquery, Pizza&Chili style)."""
+    from .search import count, locate
+
+    index = _load_index(args.index)
+    with open(args.queryfile, "rb") as f:
+        pats = [line.rstrip(b"\r\n") for line in f if line.strip()]
+    t0 = time.time()
+    if args.locate:
+        total = 0
+        for p in pats:
+            res = locate(index, p, max_matches=args.max_results)
+            total += len(res)
+            print(f"{p!r}: {len(res)} occurrences")
+        dt = time.time() - t0
+        print(f"{len(pats)} locate queries, {total} occs in {dt:.3f}s",
+              file=sys.stderr)
+    else:
+        counts = count(index, pats)
+        for p, c in zip(pats, counts):
+            print(f"{int(c)} {p!r}")
+        dt = time.time() - t0
+        print(f"{len(pats)} count queries in {dt:.3f}s "
+              f"({len(pats)/dt:.0f} q/s)", file=sys.stderr)
+    return 0
+
+
+def cmd_common(args) -> int:
+    from .tools import common_substrings
+
+    index = _load_index(args.index)
+    for s, c in common_substrings(index, args.length, args.min_count,
+                                  args.top):
+        print(f"{c}\t{s!r}")
+    return 0
+
+
+def cmd_similar(args) -> int:
+    from .tools import similarity
+
+    index = _load_index(args.index)
+    for fp in args.file:
+        with open(fp, "rb") as f:
+            data = f.read()
+        print(f"{similarity(index, data, k=args.k):.4f}\t{fp}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .server.server import serve
+
+    serve(args.index, host=args.host, port=args.port,
+          num_threads=args.threads)
+    return 0
+
+
+def main(argv=None) -> int:
+    import os
+
+    # The deployment environment may pin a platform via plugin registration
+    # that ignores JAX_PLATFORMS; FEMTO_TPU_PLATFORM overrides after import.
+    plat = os.environ.get("FEMTO_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    p = argparse.ArgumentParser(prog="femto-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("index", help="build an index")
+    s.add_argument("out")
+    s.add_argument("--input", nargs="+", required=True)
+    s.add_argument("--fasta", action="store_true")
+    s.add_argument("--seg", type=int, default=256)
+    s.add_argument("--mark-period", type=int, default=20)
+    s.add_argument("--max-bytes", type=int, default=None)
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("index")
+    s.add_argument("query", nargs="+")
+    s.add_argument("--count", action="store_true")
+    s.add_argument("--offsets", action="store_true")
+    s.add_argument("--matches", action="store_true")
+    s.add_argument("--max-results", type=int, default=1000)
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("extract", help="extract document(s) from the index")
+    s.add_argument("index")
+    s.add_argument("--doc", type=int, default=0)
+    s.add_argument("--all", action="store_true")
+    s.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("scan", help="sequential search of raw files")
+    s.add_argument("query")
+    s.add_argument("path", nargs="+")
+    s.add_argument("--max-results", type=int, default=1000)
+    s.set_defaults(fn=cmd_scan)
+
+    s = sub.add_parser("size", help="measure input size")
+    s.add_argument("path", nargs="+")
+    s.set_defaults(fn=cmd_size)
+
+    s = sub.add_parser("suffix-sort", help="standalone suffix array")
+    s.add_argument("input")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_suffix_sort)
+
+    s = sub.add_parser("flatten", help="pack an index into one file")
+    s.add_argument("index")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_flatten)
+
+    s = sub.add_parser("info", help="dump index metadata")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_info)
+
+    s = sub.add_parser("multiquery", help="batch queries from a file")
+    s.add_argument("index")
+    s.add_argument("queryfile")
+    s.add_argument("--locate", action="store_true")
+    s.add_argument("--max-results", type=int, default=None)
+    s.set_defaults(fn=cmd_multiquery)
+
+    s = sub.add_parser("common", help="most common substrings")
+    s.add_argument("index")
+    s.add_argument("--length", type=int, default=8)
+    s.add_argument("--min-count", type=int, default=2)
+    s.add_argument("--top", type=int, default=20)
+    s.set_defaults(fn=cmd_common)
+
+    s = sub.add_parser("similar", help="similarity of files vs the index")
+    s.add_argument("index")
+    s.add_argument("file", nargs="+")
+    s.add_argument("-k", type=int, default=8)
+    s.set_defaults(fn=cmd_similar)
+
+    s = sub.add_parser("serve", help="start the query server")
+    s.add_argument("index")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7733)
+    s.add_argument("--threads", type=int, default=4)
+    s.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

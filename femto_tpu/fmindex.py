@@ -108,6 +108,8 @@ class FMIndex:
 
     @classmethod
     def load(cls, path: str, device: Optional[Any] = None) -> "FMIndex":
+        if os.path.isfile(path):
+            return cls.load_flat(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta_d = json.load(f)
         infos = [s.encode("utf-8", "surrogateescape") for s in meta_d.pop("infos")]
@@ -118,6 +120,75 @@ class FMIndex:
                 **{k: jnp.asarray(z[k]) for k in FMArrays._fields}
             )
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np, infos=infos)
+
+    # ---- single-file flat format (the analog of flatten_index's
+    #      page-aligned .femto file, index.c:2260-2366) ----
+
+    MAGIC = b"FTPU0001"
+    PAGE = 4096
+
+    def save_flat(self, path: str) -> None:
+        """Pack the whole index into one page-aligned file."""
+        meta = dataclasses.asdict(self.meta)
+        meta["infos"] = [i.decode("utf-8", "surrogateescape") for i in self.infos]
+        arrs = {k: np.ascontiguousarray(np.asarray(v))
+                for k, v in self.arrays._asdict().items()}
+        arrs["doc_starts_np"] = np.ascontiguousarray(self.doc_starts_np)
+        manifest = []
+        # header is written last (need offsets); reserve after computing
+        blobs = []
+        for name, a in arrs.items():
+            manifest.append(
+                {"name": name, "dtype": str(a.dtype), "shape": list(a.shape)}
+            )
+            blobs.append(a.tobytes())
+        # two passes: compute offsets with a conservative header size, then
+        # write everything once
+        probe = json.dumps({"meta": meta, "arrays": manifest}).encode()
+        hdr_reserve = -(-(len(self.MAGIC) + 8 + len(probe) + 24 * len(manifest))
+                        // self.PAGE) * self.PAGE
+        off = hdr_reserve
+        for m, b in zip(manifest, blobs):
+            m["offset"] = off
+            off += len(b) + ((-len(b)) % self.PAGE)
+        hj = json.dumps({"meta": meta, "arrays": manifest}).encode()
+        assert len(self.MAGIC) + 8 + len(hj) <= hdr_reserve
+        with open(path, "wb") as f:
+            f.write(self.MAGIC)
+            f.write(len(hj).to_bytes(8, "little"))
+            f.write(hj)
+            f.write(b"\0" * (hdr_reserve - len(self.MAGIC) - 8 - len(hj)))
+            for b in blobs:
+                f.write(b)
+                f.write(b"\0" * ((-len(b)) % self.PAGE))
+
+    @classmethod
+    def load_flat(cls, path: str) -> "FMIndex":
+        """Load a flat index file; arrays are memory-mapped then staged to
+        device on first use."""
+        with open(path, "rb") as f:
+            magic = f.read(len(cls.MAGIC))
+            if magic != cls.MAGIC:
+                raise ValueError("not a FTPU flat index file")
+            hlen = int.from_bytes(f.read(8), "little")
+            header = json.loads(f.read(hlen))
+        meta_d = header["meta"]
+        infos = [s.encode("utf-8", "surrogateescape") for s in meta_d.pop("infos")]
+        meta = FMMeta(**meta_d)
+        arrs = {}
+        for m in header["arrays"]:
+            mm = np.memmap(
+                path,
+                dtype=np.dtype(m["dtype"]),
+                mode="r",
+                offset=m["offset"],
+                shape=tuple(m["shape"]),
+            )
+            arrs[m["name"]] = mm
+        doc_starts_np = np.asarray(arrs.pop("doc_starts_np"))
+        arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
+        return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
+                   infos=infos)
 
 
 def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
@@ -219,15 +290,46 @@ def build_index(
     seg: int = DEFAULT_SEG,
     mark_period: int = DEFAULT_MARK_PERIOD,
     sa: Optional[np.ndarray] = None,
+    device_build: bool = True,
 ) -> FMIndex:
-    """End-to-end single-device index build: SA on TPU, packaging on host."""
+    """End-to-end single-device index build: SA and packaging on device."""
     from .suffix import suffix_array
 
-    if sa is None:
-        sa = np.asarray(suffix_array(jnp.asarray(prepared.text.astype(np.int32))))
-    arrays, meta = build_fm_arrays(
-        prepared.text, sa, prepared.doc_starts, seg=seg, mark_period=mark_period
-    )
+    n = prepared.n
+    if device_build:
+        from .ops.build_ops import build_fm_arrays_device
+
+        text_dev = jnp.asarray(prepared.text.astype(np.int32))
+        sa_dev = (
+            suffix_array(text_dev) if sa is None
+            else jnp.asarray(np.asarray(sa, dtype=np.int32))
+        )
+        arrays, n_marks = build_fm_arrays_device(
+            text_dev,
+            sa_dev,
+            jnp.asarray(prepared.doc_starts.astype(np.int32)),
+            n=n,
+            seg=seg,
+            mark_period=mark_period,
+            ndocs=prepared.num_docs,
+        )
+        meta = FMMeta(
+            n=n,
+            seg=seg,
+            mark_period=mark_period,
+            num_docs=prepared.num_docs,
+            n_marks=int(n_marks),
+            n_seg=int(arrays.bwt.shape[0]),
+        )
+    else:
+        if sa is None:
+            sa = np.asarray(
+                suffix_array(jnp.asarray(prepared.text.astype(np.int32)))
+            )
+        arrays, meta = build_fm_arrays(
+            prepared.text, sa, prepared.doc_starts, seg=seg,
+            mark_period=mark_period,
+        )
     return FMIndex(
         arrays=arrays,
         meta=meta,

@@ -1,0 +1,275 @@
+"""Batching query server + femto.h text protocol over HTTP.
+
+The reference server is N worker pthreads with per-thread RB-trees of leaf
+queries, work stealing, and row-sorted sweeps (/root/reference/src/main/
+server.c:3093-3604) — request batching is its signature throughput idea.
+On TPU the batch dimension IS the request batching: a collector thread
+drains the pending-request queue every few milliseconds and executes ONE
+batched backward-search for all of them.
+
+The text protocol matches femto.h:86-139:
+  find_strings PATTERN
+  find_docs MAX_MATCHES OFFSETS? PATTERN
+  docs_for_range MAX_MATCHES OFFSETS? START_ROW END_ROW
+  string_rows CHARACTER...            (numeric alphabet codes)
+  string_rows_left / string_rows_right / string_rows_all CHARACTER...
+served over HTTP POST (mod_femto style: POST /femto/<index>/ with the
+request line as the body) and usable in-process via FemtoServer.request().
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..alphabet import ALPHA_SIZE, CHARACTER_OFFSET, pattern_to_alpha
+from ..fmindex import FMIndex
+from ..search import (
+    count_ranges,
+    locate_range,
+    offsets_to_docs,
+    pack_patterns,
+)
+
+
+class _BatchingCounter:
+    """Collects concurrent count requests and runs them as one device batch
+    (the RB-tree row-sort sweep, collapsed into the batch dimension)."""
+
+    def __init__(self, index: FMIndex, window_ms: float = 2.0,
+                 max_batch: int = 4096):
+        self.index = index
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.q: "queue.Queue[Tuple[np.ndarray, object]]" = queue.Queue()
+        self.stats = {"batches": 0, "queries": 0}
+        self._stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, pattern_alpha: np.ndarray):
+        """Returns a threading.Event-backed future-like holder."""
+        holder = {"event": threading.Event(), "result": None}
+        self.q.put((pattern_alpha, holder))
+        return holder
+
+    def count(self, pattern: bytes) -> Tuple[int, int]:
+        h = self.submit(pattern_to_alpha(pattern))
+        h["event"].wait()
+        return h["result"]
+
+    def _run(self):
+        from ..ops.search_ops import backward_search
+        import jax
+        import jax.numpy as jnp
+
+        meta = self.index.meta
+
+        while not self._stop:
+            try:
+                first_item = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first_item]
+            deadline = time.perf_counter() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            pats = [b[0] for b in batch]
+            packed, B = pack_patterns(pats)
+            first, last = _count_jit_cached(
+                self.index, packed
+            )
+            first, last = np.asarray(first), np.asarray(last)
+            for i, (_, holder) in enumerate(batch):
+                holder["result"] = (int(first[i]), int(last[i]))
+                holder["event"].set()
+            self.stats["batches"] += 1
+            self.stats["queries"] += len(batch)
+
+    def stop(self):
+        self._stop = True
+
+
+def _count_jit_cached(index: FMIndex, packed: np.ndarray):
+    from ..search import _count_jit
+    import jax.numpy as jnp
+
+    return _count_jit(index.arrays, index.meta.n, jnp.asarray(packed))
+
+
+class FemtoServer:
+    """In-process server: request batching + the generic text protocol."""
+
+    def __init__(self, index: FMIndex, window_ms: float = 2.0):
+        self.index = index
+        self.counter = _BatchingCounter(index, window_ms=window_ms)
+
+    # ---- protocol entry (femto_create_generic_request analog) ----
+
+    def request(self, line: str) -> str:
+        parts = line.strip().split(" ", 1)
+        cmd = parts[0]
+        rest = parts[1] if len(parts) > 1 else ""
+        if cmd == "find_strings":
+            return self._find_strings(rest)
+        if cmd == "find_docs":
+            return self._find_docs(rest)
+        if cmd == "docs_for_range":
+            return self._docs_for_range(rest)
+        if cmd == "string_rows":
+            return self._string_rows(rest, "none")
+        if cmd == "string_rows_left":
+            return self._string_rows(rest, "left")
+        if cmd == "string_rows_right":
+            return self._string_rows(rest, "right")
+        if cmd == "string_rows_all":
+            return self._string_rows(rest, "all")
+        raise ValueError(f"unknown request: {cmd}")
+
+    # ---- handlers ----
+
+    def _find_strings(self, pattern: str) -> str:
+        from ..query.engine import find_strings
+
+        matches = find_strings(self.index, pattern)
+        return json.dumps({
+            "matches": [
+                {
+                    "range": [m.first, m.last],
+                    "cost": m.cost,
+                    "match": [b + CHARACTER_OFFSET for b in m.match],
+                }
+                for m in matches
+            ]
+        })
+
+    def _find_docs(self, rest: str) -> str:
+        parts = rest.split(" ", 2)
+        max_matches = int(parts[0])
+        with_offsets = parts[1] == "1"
+        pattern = parts[2]
+        from ..query.engine import docs_query
+
+        rows = docs_query(self.index, pattern,
+                          max_matches=max_matches if max_matches > 0 else None,
+                          with_offsets=with_offsets)
+        return json.dumps({
+            "results": [
+                {
+                    "doc_info": info.decode("utf-8", "replace"),
+                    **({"offsets": offs} if with_offsets else {}),
+                }
+                for _, info, offs in rows
+            ]
+        })
+
+    def _docs_for_range(self, rest: str) -> str:
+        parts = rest.split()
+        max_matches, with_offsets = int(parts[0]), parts[1] == "1"
+        start, end = int(parts[2]), int(parts[3])
+        offs = locate_range(self.index, start, end,
+                            max_matches if max_matches > 0 else None)
+        doc, doc_off = offsets_to_docs(self.index, offs)
+        per_doc = {}
+        for d, o in zip(doc.tolist(), doc_off.tolist()):
+            per_doc.setdefault(d, []).append(o)
+        return json.dumps({
+            "range": [start, end],
+            "results": [
+                {
+                    "doc_info": self.index.infos[d].decode("utf-8", "replace"),
+                    **({"offsets": sorted(o)} if with_offsets else {}),
+                }
+                for d, o in sorted(per_doc.items())
+            ],
+        })
+
+    def _string_rows(self, rest: str, mode: str) -> str:
+        chars = [int(c) for c in rest.split()] if rest.strip() else []
+        pattern = bytes(
+            c - CHARACTER_OFFSET for c in chars if c >= CHARACTER_OFFSET
+        )
+        first, last = self.counter.count(pattern)
+        out = {}
+        if mode == "none":
+            return json.dumps({"range": [first, last]})
+        if mode in ("left", "all"):
+            out["left"] = self._extensions_left(pattern)
+        if mode in ("right", "all"):
+            out["right"] = self._extensions_right(pattern)
+        if mode == "all":
+            out = {"range": [first, last], **out}
+        return json.dumps(out)
+
+    def _extensions_left(self, pattern: bytes) -> List[dict]:
+        """Ranges of c+pattern for every byte c — one extra backward step,
+        batched over the alphabet."""
+        pats = [bytes([c]) + pattern for c in range(256)]
+        first, last = count_ranges(self.index, pats)
+        return [
+            {"ch": c + CHARACTER_OFFSET, "range": [int(f), int(l)]}
+            for c, (f, l) in enumerate(zip(first, last))
+            if l > f
+        ]
+
+    def _extensions_right(self, pattern: bytes) -> List[dict]:
+        """Ranges of pattern+c for every byte c (batched full searches)."""
+        pats = [pattern + bytes([c]) for c in range(256)]
+        first, last = count_ranges(self.index, pats)
+        return [
+            {"ch": c + CHARACTER_OFFSET, "range": [int(f), int(l)]}
+            for c, (f, l) in enumerate(zip(first, last))
+            if l > f
+        ]
+
+    def stop(self):
+        self.counter.stop()
+
+
+def serve(index_path: str, host: str = "127.0.0.1", port: int = 7733,
+          num_threads: int = 4):
+    """HTTP front end (mod_femto style: POST body = one protocol line)."""
+    index = FMIndex.load(index_path)
+    server = FemtoServer(index)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode("utf-8", "replace")
+            try:
+                resp = server.request(body)
+                code = 200
+            except Exception as e:  # noqa: BLE001
+                resp = json.dumps({"error": str(e)})
+                code = 400
+            data = resp.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"femto-tpu server on http://{host}:{port}/ "
+          f"(index: {index_path}, n={index.meta.n})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
