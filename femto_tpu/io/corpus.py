@@ -31,8 +31,20 @@ def iter_files(paths: Iterable[str]) -> List[str]:
 
 
 def read_corpus(paths: Iterable[str],
-                max_bytes: Optional[int] = None) -> PreparedText:
-    """One document per file."""
+                max_bytes: Optional[int] = None,
+                use_native: bool = True) -> PreparedText:
+    """One document per file.  Uses the native C++ loader when available
+    (unless byte-limited)."""
+    files = iter_files(paths)
+    if use_native and max_bytes is None:
+        from .native import prepare_corpus_native
+
+        try:
+            prepared = prepare_corpus_native(files)
+        except OSError:
+            prepared = None
+        if prepared is not None:
+            return prepared
     docs: List[bytes] = []
     infos: List[bytes] = []
     total = 0
