@@ -195,6 +195,57 @@ def cmd_similar(args) -> int:
     return 0
 
 
+def _prepared_and_sa(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.corpus import read_corpus, read_fasta
+    from .suffix import suffix_array
+
+    prepared = (read_fasta(args.input) if getattr(args, "fasta", False)
+                else read_corpus(args.input))
+    sa = np.asarray(
+        suffix_array(jnp.asarray(prepared.text.astype("int32")))
+    )
+    return prepared, sa
+
+
+def cmd_find_unique(args) -> int:
+    """Minimal unique substrings per position (FindUnique)."""
+    from .lcp import unique_lengths
+
+    prepared, sa = _prepared_and_sa(args)
+    ul = unique_lengths(prepared, sa)
+    for d in range(prepared.num_docs):
+        s, e = int(prepared.doc_starts[d]), int(prepared.doc_starts[d + 1]) - 1
+        lens = ul[s:e]
+        info = prepared.infos[d].decode("utf-8", "replace")
+        print(f"{info}: {' '.join(map(str, lens.tolist()))}")
+    return 0
+
+
+def cmd_unique_kmers(args) -> int:
+    from .lcp import extract_unique_kmers
+
+    prepared, sa = _prepared_and_sa(args)
+    for doc, off in extract_unique_kmers(prepared, sa, args.k):
+        info = prepared.infos[doc].decode("utf-8", "replace")
+        print(f"{info}\t{off}")
+    return 0
+
+
+def cmd_suffix_similarity(args) -> int:
+    from .lcp import suffix_similarity
+
+    prepared, sa = _prepared_and_sa(args)
+    sim = suffix_similarity(prepared, sa, min_lcp=args.min_lcp)
+    for (a, b), score in sorted(sim.items(), key=lambda kv: -kv[1]):
+        ia = prepared.infos[a].decode("utf-8", "replace")
+        ib = prepared.infos[b].decode("utf-8", "replace")
+        print(f"{score:.4f}\t{ia}\t{ib}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .server.server import serve
 
@@ -284,6 +335,24 @@ def main(argv=None) -> int:
     s.add_argument("file", nargs="+")
     s.add_argument("-k", type=int, default=8)
     s.set_defaults(fn=cmd_similar)
+
+    s = sub.add_parser("find-unique", help="minimal unique substring lengths")
+    s.add_argument("--input", nargs="+", required=True)
+    s.add_argument("--fasta", action="store_true")
+    s.set_defaults(fn=cmd_find_unique)
+
+    s = sub.add_parser("unique-kmers", help="positions with unique k-mers")
+    s.add_argument("--input", nargs="+", required=True)
+    s.add_argument("--fasta", action="store_true")
+    s.add_argument("-k", type=int, default=16)
+    s.set_defaults(fn=cmd_unique_kmers)
+
+    s = sub.add_parser("suffix-similarity",
+                       help="document similarity by shared substrings")
+    s.add_argument("--input", nargs="+", required=True)
+    s.add_argument("--fasta", action="store_true")
+    s.add_argument("--min-lcp", type=int, default=8)
+    s.set_defaults(fn=cmd_suffix_similarity)
 
     s = sub.add_parser("serve", help="start the query server")
     s.add_argument("index")

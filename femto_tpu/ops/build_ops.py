@@ -5,6 +5,11 @@ index.c:309-740 compress_bucket) serializes buckets CPU-side; here the whole
 packaging is a handful of scatter/cumsum/gather passes that run on the
 accelerator right after the suffix sort, so "build" stays on-device from raw
 text to queryable index.
+
+The assembly is split into several small jitted stages (BWT, occ, marks,
+ISA) instead of one fused graph: the deployment environment compiles
+remotely and very large fused graphs have pathological compile times, while
+the stages compile in seconds and the intermediate arrays stay on device.
 """
 
 from __future__ import annotations
@@ -29,42 +34,22 @@ def mark_cap(n: int, ndocs: int, mark_period: int, seg: int) -> int:
     return -(-base // 128) * 128
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "seg", "mark_period", "ndocs", "seg_multiple"),
-)
-def build_fm_arrays_device(
-    text: jax.Array,      # int32[n] alphabet codes
-    sa: jax.Array,        # int32[n]
-    doc_starts: jax.Array,  # int32[ndocs+1]
-    *,
-    n: int,
-    seg: int,
-    mark_period: int,
-    ndocs: int,
-    seg_multiple: int = 1,
-) -> Tuple[FMArrays, jax.Array]:
-    """Assemble FMArrays on device.  Returns (arrays, n_marks scalar)."""
-    n_seg = n // seg + 1
-    n_seg = -(-n_seg // seg_multiple) * seg_multiple
-    n_pad = n_seg * seg
-
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    # BWT
+@functools.partial(jax.jit, static_argnames=("n", "n_pad"))
+def _bwt_stage(text, sa, *, n, n_pad):
     prev = jnp.where(sa == 0, n - 1, sa - 1)
     bwt_chars = jnp.take(text, prev, axis=0).astype(jnp.int32)
-    bwt = jnp.full((n_pad,), INVALID_ALPHA, jnp.uint16)
-    bwt = bwt.at[idx].set(bwt_chars.astype(jnp.uint16))
-    bwt2d = bwt.reshape(n_seg, seg)
+    pad = jnp.full((n_pad - n,), INVALID_ALPHA, jnp.uint16)
+    bwt = jnp.concatenate([bwt_chars.astype(jnp.uint16), pad])
+    return bwt, bwt_chars
 
-    # C array
-    counts = jnp.zeros((ALPHA_SIZE,), jnp.int32).at[text].add(1)
+
+@functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
+def _occ_stage(bwt_chars, *, n, n_seg, seg):
+    idx = jnp.arange(n, dtype=jnp.int32)
+    counts = jnp.zeros((ALPHA_SIZE,), jnp.int32).at[bwt_chars].add(1)
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )
-
-    # occ checkpoints: per-seg histogram -> exclusive cumsum
     flat = (idx // seg) * ALPHA_SIZE + bwt_chars
     per_seg = (
         jnp.zeros((n_seg * ALPHA_SIZE,), jnp.int32)
@@ -78,40 +63,47 @@ def build_fm_arrays_device(
             jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32),
         ]
     )
+    return C, occ_ckpt
 
-    # mark sampling: should_mark over text positions, permuted to row order
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "n_pad", "seg", "mark_period", "cap")
+)
+def _marks_stage(sa, doc_starts, *, n, n_pad, seg, mark_period, cap):
+    n_seg = n_pad // seg
+    idx = jnp.arange(n, dtype=jnp.int32)
     if mark_period == 0:
-        marked_pos = jnp.zeros((n,), dtype=bool)
+        marked_sa = jnp.zeros((n,), dtype=bool)
     else:
+        # should_mark evaluated directly at position sa[r] (gathers only)
+        pos = sa
         doc_of = (
-            jnp.searchsorted(doc_starts, idx, side="right").astype(jnp.int32)
+            jnp.searchsorted(doc_starts, pos, side="right").astype(jnp.int32)
             - 1
         )
         doc_start = doc_starts[doc_of]
         doc_end = doc_starts[doc_of + 1]
-        doc_off = idx - doc_start
-        marked_pos = (
-            (doc_off == 0)
-            | (idx == doc_end - 1)
+        doc_off = pos - doc_start
+        marked_sa = (
+            (doc_off == 0) | (pos == doc_end - 1)
             | (doc_off % mark_period == 0)
         )
-    marked_row = jnp.zeros((n_pad,), dtype=bool).at[idx].set(marked_pos[sa])
-
-    # packed bitmap
+    marked_row = jnp.concatenate(
+        [marked_sa, jnp.zeros((n_pad - n,), dtype=bool)]
+    )
     bits = marked_row.reshape(n_pad // 32, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     mark_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32).reshape(
         n_seg, seg // 32
     )
-
-    per_seg_marks = marked_row.reshape(n_seg, seg).sum(axis=1).astype(jnp.int32)
+    per_seg_marks = (
+        marked_row.reshape(n_seg, seg).sum(axis=1).astype(jnp.int32)
+    )
     mark_ckpt = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
     ).astype(jnp.int32)
 
-    # mark values, compacted by mark rank (static capacity)
-    cap = mark_cap(n, ndocs, mark_period, seg)
-    mrow = marked_row[:n]
+    mrow = marked_sa
     mrank = jnp.cumsum(mrow.astype(jnp.int32)) - mrow.astype(jnp.int32)
     slot = jnp.where(mrow, jnp.minimum(mrank, cap - 1), cap)
     mark_vals = (
@@ -120,14 +112,44 @@ def build_fm_arrays_device(
         .set(sa.astype(jnp.int32), mode="drop")[:cap]
     )
     n_marks = jnp.sum(mrow.astype(jnp.int32))
+    return mark_bits, mark_ckpt, mark_vals, n_marks
 
-    # doc SEOF rows via inverse SA
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _isa_stage(sa, doc_starts, *, n):
+    idx = jnp.arange(n, dtype=jnp.int32)
     isa = jnp.zeros((n,), jnp.int32).at[sa].set(idx)
     seof_pos = doc_starts[1:] - 1
-    doc_seof_rows = isa[seof_pos]
+    return isa[seof_pos]
+
+
+def build_fm_arrays_device(
+    text: jax.Array,
+    sa: jax.Array,
+    doc_starts: jax.Array,
+    *,
+    n: int,
+    seg: int,
+    mark_period: int,
+    ndocs: int,
+    seg_multiple: int = 1,
+) -> Tuple[FMArrays, jax.Array]:
+    """Assemble FMArrays on device.  Returns (arrays, n_marks scalar)."""
+    n_seg = n // seg + 1
+    n_seg = -(-n_seg // seg_multiple) * seg_multiple
+    n_pad = n_seg * seg
+
+    bwt, bwt_chars = _bwt_stage(text, sa, n=n, n_pad=n_pad)
+    C, occ_ckpt = _occ_stage(bwt_chars, n=n, n_seg=n_seg, seg=seg)
+    cap = mark_cap(n, ndocs, mark_period, seg)
+    mark_bits, mark_ckpt, mark_vals, n_marks = _marks_stage(
+        sa, doc_starts, n=n, n_pad=n_pad, seg=seg,
+        mark_period=mark_period, cap=cap,
+    )
+    doc_seof_rows = _isa_stage(sa, doc_starts, n=n)
 
     arrays = FMArrays(
-        bwt=bwt2d,
+        bwt=bwt.reshape(n_seg, seg),
         occ_ckpt=occ_ckpt,
         C=C,
         mark_bits=mark_bits,

@@ -213,4 +213,29 @@ int ft_fasta_fill(const char** paths, int64_t n_paths, int rc,
   return 0;
 }
 
+// Kasai's linear-time LCP construction: lcp[r] = longest common prefix of
+// the suffixes at SA rows r-1 and r (lcp[0] = 0).  The Chapel reference
+// computes PLCP on CPU locales (SuffixSortImpl.chpl:3130+); this is the
+// single-host native path consumed by femto_tpu.lcp.
+int ft_kasai(const uint16_t* text, const int32_t* sa, int64_t n,
+             int32_t* lcp) {
+  if (n <= 0) return 0;
+  std::vector<int32_t> rank(static_cast<size_t>(n));
+  for (int64_t r = 0; r < n; ++r) rank[sa[r]] = static_cast<int32_t>(r);
+  int64_t h = 0;
+  lcp[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = rank[static_cast<size_t>(i)];
+    if (r > 0) {
+      int64_t j = sa[r - 1];
+      while (i + h < n && j + h < n && text[i + h] == text[j + h]) ++h;
+      lcp[r] = static_cast<int32_t>(h);
+      if (h > 0) --h;
+    } else {
+      h = 0;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
