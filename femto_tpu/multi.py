@@ -1,0 +1,76 @@
+"""Multi-index search: fan queries across several indexes and merge.
+
+The reference's femto_search takes 1+ indexes and fans each query across
+them (/root/reference/src/main_cc/search_tool.cc:48-70, SURVEY.md §2.11.8);
+this is also the scaling path for corpora larger than device memory: build
+per-shard indexes (chunked corpus), query all, merge counts/doc lists with
+per-shard doc-id offsets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .fmindex import FMIndex
+from .search import count as _count
+from .search import locate as _locate
+
+
+class MultiIndex:
+    """A list of FMIndexes presented as one corpus; doc ids are offset by
+    each shard's base."""
+
+    def __init__(self, indexes: Sequence[FMIndex]):
+        self.indexes = list(indexes)
+        self.doc_base = np.cumsum(
+            [0] + [ix.num_docs for ix in self.indexes]
+        )
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.doc_base[-1])
+
+    @property
+    def n(self) -> int:
+        return sum(ix.meta.n for ix in self.indexes)
+
+    def info(self, doc: int) -> bytes:
+        s = int(np.searchsorted(self.doc_base, doc, side="right") - 1)
+        return self.indexes[s].infos[doc - int(self.doc_base[s])]
+
+    def count(self, patterns: Sequence[bytes]) -> np.ndarray:
+        total = np.zeros(len(patterns), dtype=np.int64)
+        for ix in self.indexes:
+            total += _count(ix, patterns)
+        return total
+
+    def locate(self, pattern: bytes,
+               max_matches: Optional[int] = None) -> List[Tuple[int, int]]:
+        out: List[Tuple[int, int]] = []
+        for s, ix in enumerate(self.indexes):
+            rem = None if max_matches is None else max_matches - len(out)
+            if rem is not None and rem <= 0:
+                break
+            for doc, off in _locate(ix, pattern, rem):
+                out.append((doc + int(self.doc_base[s]), off))
+        return sorted(out)
+
+    def docs(self, pattern: bytes) -> List[int]:
+        return sorted({d for d, _ in self.locate(pattern)})
+
+
+def build_chunked(docs: Sequence[bytes], chunk_docs: int,
+                  **build_kwargs) -> MultiIndex:
+    """Build a MultiIndex by splitting the corpus into per-chunk indexes —
+    blockwise construction for inputs larger than one build's memory
+    budget (the analog of the reference's bins/blocks decomposition)."""
+    from .alphabet import prepare_documents
+    from .fmindex import build_index
+
+    indexes = []
+    for i in range(0, len(docs), chunk_docs):
+        prepared = prepare_documents(docs[i : i + chunk_docs])
+        indexes.append(build_index(prepared, **build_kwargs))
+    return MultiIndex(indexes)

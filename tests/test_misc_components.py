@@ -1,0 +1,85 @@
+"""Winnowing, density codec, multi-index tests."""
+
+import numpy as np
+import pytest
+
+import femto_tpu as ft
+from femto_tpu.density import (
+    decode_bits,
+    decode_subset,
+    encode_bits,
+    encode_subset,
+)
+from femto_tpu.multi import MultiIndex, build_chunked
+from femto_tpu.winnow import (
+    cluster_by_fingerprints,
+    kgram_hashes,
+    winnow_fingerprints,
+)
+from tests.oracle import naive_count, naive_locate
+
+
+def test_kgram_hashes_consistency():
+    h = kgram_hashes(b"abcdefabcdef", 4)
+    assert len(h) == 9
+    assert h[0] == h[6]  # "abcd" twice
+    assert h[0] != h[1]
+
+
+def test_winnow_fingerprints_guarantee():
+    # winnowing guarantees: any shared substring of length >= w+k-1
+    # produces a shared fingerprint
+    a = b"xxxxxTHESHAREDSUBSTRINGISLONGyyyyy"
+    b = b"qqTHESHAREDSUBSTRINGISLONGpp"
+    fa = {h for _, h in winnow_fingerprints(a, k=5, w=4)}
+    fb = {h for _, h in winnow_fingerprints(b, k=5, w=4)}
+    assert fa & fb
+
+
+def test_winnow_clustering():
+    docs = [
+        b"the quick brown fox jumps over everything here",
+        b"the quick brown fox jumps over everything there",
+        b"completely unrelated content zzz qqq www",
+    ]
+    clusters = cluster_by_fingerprints(docs, k=6, w=4, min_shared=2)
+    as_sets = [set(c) for c in clusters]
+    assert {0, 1} in as_sets and {2} in as_sets
+
+
+def test_density_roundtrip(rng):
+    for _ in range(20):
+        n = int(rng.integers(1, 40))
+        k = int(rng.integers(0, n + 1))
+        pos = sorted(rng.choice(n, size=k, replace=False).tolist())
+        r = encode_subset(n, pos)
+        assert decode_subset(n, k, r) == pos
+    bits = rng.random(24) < 0.4
+    r = encode_bits(bits)
+    np.testing.assert_array_equal(decode_bits(24, int(bits.sum()), r), bits)
+
+
+def test_density_ranks_are_dense():
+    # all C(5,2)=10 subsets map to distinct ranks 0..9
+    import itertools
+
+    ranks = sorted(
+        encode_subset(5, list(s)) for s in itertools.combinations(range(5), 2)
+    )
+    assert ranks == list(range(10))
+
+
+def test_multi_index_matches_single(rng):
+    docs = [
+        b"the quick brown fox",
+        b"jumps over the lazy dog",
+        b"banana banana",
+        b"quick quick quick",
+        bytes(rng.integers(0, 256, size=300).astype(np.uint8)),
+    ]
+    mi = build_chunked(docs, chunk_docs=2, seg=64, mark_period=8)
+    assert mi.num_docs == len(docs)
+    for p in [b"quick", b"banana", b"the", b"zz"]:
+        assert int(mi.count([p])[0]) == naive_count(docs, p), p
+        assert mi.locate(p) == naive_locate(docs, p), p
+    assert mi.info(2) == b"doc0"  # doc 2 is first doc of chunk 1
