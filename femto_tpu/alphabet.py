@@ -63,18 +63,22 @@ def alpha_to_bytes(arr: np.ndarray) -> bytes:
 class PreparedText:
     """Concatenated alphabet-coded corpus plus document boundary metadata.
 
-    text:       uint16[n] alphabet codes; doc i occupies
-                [doc_starts[i], doc_starts[i+1]) with text[doc_starts[i+1]-1]
-                == SEOF.
-    doc_starts: int64[ndocs+1] prefix offsets into `text`.
-    infos:      per-document opaque info strings (filenames/URLs), the
-                analog of the reference's doc_info records
-                (bwt_reader.h:144-176).
+    text:        uint16[n] alphabet codes; doc i occupies
+                 [doc_starts[i], doc_starts[i+1]) laid out as
+                 [SOH header EOH]? content SEOF.
+    doc_starts:  int64[ndocs+1] region prefix offsets into `text`.
+    infos:       per-document opaque info strings (filenames/URLs), the
+                 analog of the reference's doc_info records
+                 (bwt_reader.h:144-176).
+    header_lens: int64[ndocs] total header region length per doc
+                 (0 or len(header)+2), or None when no headers exist;
+                 content of doc i starts at doc_starts[i]+header_lens[i].
     """
 
     text: np.ndarray
     doc_starts: np.ndarray
     infos: List[bytes]
+    header_lens: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -84,42 +88,82 @@ class PreparedText:
     def num_docs(self) -> int:
         return int(self.doc_starts.shape[0]) - 1
 
+    def header_len(self, d: int) -> int:
+        return 0 if self.header_lens is None else int(self.header_lens[d])
+
     def doc_bytes(self, d: int) -> bytes:
-        """Raw bytes of document d (terminator stripped)."""
-        s, e = int(self.doc_starts[d]), int(self.doc_starts[d + 1])
+        """Raw content bytes of document d (header/terminator stripped)."""
+        s = int(self.doc_starts[d]) + self.header_len(d)
+        e = int(self.doc_starts[d + 1])
         return alpha_to_bytes(self.text[s : e - 1])
+
+    def header_bytes(self, d: int) -> bytes:
+        h = self.header_len(d)
+        if h == 0:
+            return b""
+        s = int(self.doc_starts[d])
+        return alpha_to_bytes(self.text[s + 1 : s + h - 1])
 
     def doc_len(self, d: int) -> int:
         """Content length of document d in bytes (without terminator)."""
-        return int(self.doc_starts[d + 1] - self.doc_starts[d]) - 1
+        return (int(self.doc_starts[d + 1] - self.doc_starts[d]) - 1
+                - self.header_len(d))
 
 
 def prepare_documents(
-    docs: Sequence[bytes], infos: Optional[Sequence[bytes]] = None
+    docs: Sequence[bytes],
+    infos: Optional[Sequence[bytes]] = None,
+    headers: Optional[Sequence[bytes]] = None,
 ) -> PreparedText:
     """Two-pass document preparation (analog of bwt_prepare.{h,c}).
 
     Pass 1 counts, pass 2 ingests — done here with numpy concatenation; the
     native C++ loader in femto_tpu/io performs the same layout for large
     corpora.
+
+    headers: optional per-document header sections, stored as
+    SOH+header+EOH ahead of the content (the reference's header sections,
+    block_format.txt:4-8).  Header bytes are searchable like content —
+    their match offsets come back negative relative to the content start —
+    but patterns cannot match across the SOH/EOH escape boundaries.
     """
     if infos is None:
         infos = [("doc%d" % i).encode() for i in range(len(docs))]
     infos = list(infos)
     if len(infos) != len(docs):
         raise ValueError("infos length must match docs length")
+    if headers is not None and len(headers) != len(docs):
+        raise ValueError("headers length must match docs length")
 
-    lens = np.fromiter((len(d) + 1 for d in docs), dtype=np.int64, count=len(docs))
+    def hdr_len(i: int) -> int:
+        return (len(headers[i]) + 2) if headers is not None and headers[i] else 0
+
+    lens = np.fromiter(
+        (hdr_len(i) + len(d) + 1 for i, d in enumerate(docs)),
+        dtype=np.int64, count=len(docs),
+    )
     doc_starts = np.zeros(len(docs) + 1, dtype=np.int64)
     np.cumsum(lens, out=doc_starts[1:])
     n = int(doc_starts[-1])
     text = np.empty(n, dtype=np.uint16)
     for i, d in enumerate(docs):
         s = int(doc_starts[i])
+        h = hdr_len(i)
+        if h:
+            text[s] = SOH
+            text[s + 1 : s + h - 1] = bytes_to_alpha(headers[i])
+            text[s + h - 1] = EOH
         if len(d):
-            text[s : s + len(d)] = bytes_to_alpha(d)
-        text[s + len(d)] = SEOF
-    return PreparedText(text=text, doc_starts=doc_starts, infos=infos)
+            text[s + h : s + h + len(d)] = bytes_to_alpha(d)
+        text[s + h + len(d)] = SEOF
+    header_lens = None
+    if headers is not None:
+        header_lens = np.fromiter(
+            (hdr_len(i) for i in range(len(docs))), dtype=np.int64,
+            count=len(docs),
+        )
+    return PreparedText(text=text, doc_starts=doc_starts, infos=infos,
+                        header_lens=header_lens)
 
 
 def pattern_to_alpha(pattern: bytes) -> np.ndarray:

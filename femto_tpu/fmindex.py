@@ -82,8 +82,9 @@ class FMIndex:
 
     arrays: FMArrays
     meta: FMMeta
-    doc_starts_np: np.ndarray  # int64[ndocs+1] host copy
+    doc_starts_np: np.ndarray  # int64[ndocs+1] host copy (region bounds)
     infos: List[bytes]
+    header_lens_np: Optional[np.ndarray] = None  # int64[ndocs] or None
 
     @property
     def n(self) -> int:
@@ -104,6 +105,8 @@ class FMIndex:
             json.dump(meta, f)
         arrs = {k: np.asarray(v) for k, v in self.arrays._asdict().items()}
         arrs["doc_starts_np"] = self.doc_starts_np
+        if self.header_lens_np is not None:
+            arrs["header_lens_np"] = self.header_lens_np
         np.savez(os.path.join(path, "arrays.npz"), **arrs)
 
     @classmethod
@@ -116,10 +119,14 @@ class FMIndex:
         meta = FMMeta(**meta_d)
         with np.load(os.path.join(path, "arrays.npz")) as z:
             doc_starts_np = z["doc_starts_np"]
+            header_lens_np = (
+                z["header_lens_np"] if "header_lens_np" in z.files else None
+            )
             arrays = FMArrays(
                 **{k: jnp.asarray(z[k]) for k in FMArrays._fields}
             )
-        return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np, infos=infos)
+        return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
+                   infos=infos, header_lens_np=header_lens_np)
 
     # ---- single-file flat format (the analog of flatten_index's
     #      page-aligned .femto file, index.c:2260-2366) ----
@@ -134,6 +141,8 @@ class FMIndex:
         arrs = {k: np.ascontiguousarray(np.asarray(v))
                 for k, v in self.arrays._asdict().items()}
         arrs["doc_starts_np"] = np.ascontiguousarray(self.doc_starts_np)
+        if self.header_lens_np is not None:
+            arrs["header_lens_np"] = np.ascontiguousarray(self.header_lens_np)
         manifest = []
         # header is written last (need offsets); reserve after computing
         blobs = []
@@ -186,9 +195,12 @@ class FMIndex:
             )
             arrs[m["name"]] = mm
         doc_starts_np = np.asarray(arrs.pop("doc_starts_np"))
+        header_lens_np = None
+        if "header_lens_np" in arrs:
+            header_lens_np = np.asarray(arrs.pop("header_lens_np"))
         arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
-                   infos=infos)
+                   infos=infos, header_lens_np=header_lens_np)
 
 
 def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
@@ -335,4 +347,5 @@ def build_index(
         meta=meta,
         doc_starts_np=prepared.doc_starts.astype(np.int64),
         infos=list(prepared.infos),
+        header_lens_np=prepared.header_lens,
     )

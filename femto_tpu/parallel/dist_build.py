@@ -290,4 +290,5 @@ def build_index_sharded(
         meta=meta,
         doc_starts_np=prepared.doc_starts.astype(np.int64),
         infos=list(prepared.infos),
+        header_lens_np=prepared.header_lens,
     )

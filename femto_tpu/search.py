@@ -106,11 +106,16 @@ def locate_range(
 def offsets_to_docs(
     index: FMIndex, offs: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Map global text offsets to (doc_id, offset_in_doc)."""
+    """Map global text offsets to (doc_id, offset_in_doc).
+
+    Offsets are content-relative; matches inside a document's header
+    section come back negative (header bytes precede content)."""
     if offs.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     doc = np.searchsorted(index.doc_starts_np, offs, side="right") - 1
     doc_off = offs - index.doc_starts_np[doc]
+    if index.header_lens_np is not None:
+        doc_off = doc_off - index.header_lens_np[doc]
     return doc.astype(np.int64), doc_off.astype(np.int64)
 
 
@@ -129,6 +134,8 @@ def extract_document(index: FMIndex, doc_id: int) -> bytes:
     via a backward LF walk from the document's SEOF row — the analog of
     extract_document_query (server.h:399-406)."""
     dlen = int(index.doc_starts_np[doc_id + 1] - index.doc_starts_np[doc_id]) - 1
+    if index.header_lens_np is not None:
+        dlen -= int(index.header_lens_np[doc_id])
     if dlen == 0:
         return b""
     row = int(np.asarray(index.arrays.doc_seof_rows)[doc_id])
