@@ -3,18 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline metric is LF/backward-search steps per second per chip — the
+Headline metric: LF/backward-search steps per second per chip — the
 reference's batched count-query throughput axis (doc/femto.pdf §4.1 Fig. 4);
 BASELINE.md sets the target at >= 10M steps/s/chip.  One "step" = one
 pattern-character advance of one query = 2 rank(c, r) lookups.
 
-Timing methodology: the execution environment may pipeline/queue remote
-dispatches, so every timed loop carries a data dependency from iteration to
-iteration (a scalar accumulator folded into the next input) and ends with a
-host materialization of that scalar — wall-clock therefore covers real
-end-to-end execution, not queue insertion.
-
-Extra diagnostics (build rate, locate rate) go to stderr.
+Methodology notes (this environment tunnels a remote TPU):
+  * host<->device transfers are pathologically slow through the tunnel, so
+    the corpus is synthesized ON DEVICE and never round-trips;
+  * remote dispatch may queue, so every timed loop chains a scalar
+    accumulator through iterations and ends with a host materialization.
 """
 
 import json
@@ -29,45 +27,56 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_corpus(mb: float) -> bytes:
-    """Deterministic english-like synthetic corpus."""
-    rng = np.random.default_rng(1234)
-    n = int(mb * (1 << 20))
-    letters = np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
-    probs = 1.0 / np.arange(1, len(letters) + 1)
-    probs /= probs.sum()
-    return rng.choice(letters, size=n, p=probs).astype(np.uint8).tobytes()
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     import femto_tpu as ft
-    from femto_tpu.alphabet import pattern_to_alpha
+    from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
+    from femto_tpu.fmindex import FMIndex, FMMeta
+    from femto_tpu.ops.build_ops import build_fm_arrays_device
     from femto_tpu.ops.search_ops import backward_search, locate_rows
-    from femto_tpu.search import pack_patterns
 
     mb = float(os.environ.get("BENCH_MB", "32"))
     B = int(os.environ.get("BENCH_BATCH", "8192"))
     P = int(os.environ.get("BENCH_PATLEN", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    seg = int(os.environ.get("BENCH_SEG", "256"))
+    mark_period = int(os.environ.get("BENCH_MARK", "20"))
 
     dev = jax.devices()[0]
     log(f"device: {dev}, corpus {mb} MiB, batch {B}, patlen {P}")
 
-    corpus = make_corpus(mb)
+    n = int(mb * (1 << 20))
     doc_size = 1 << 16
-    docs = [corpus[i : i + doc_size] for i in range(0, len(corpus), doc_size)]
-    prepared = ft.prepare_documents(docs)
+    ndocs = -(-n // doc_size)
+    doc_starts_np = np.minimum(
+        np.arange(ndocs + 1, dtype=np.int64) * doc_size, n
+    )
+
+    # English-like zipf text synthesized on device (no host upload).
+    @jax.jit
+    def gen_text(key):
+        letters = jnp.asarray(
+            np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
+            .astype(np.int32) + CHARACTER_OFFSET
+        )
+        probs = 1.0 / np.arange(1, 31, dtype=np.float32)
+        logits = jnp.log(jnp.asarray(probs / probs.sum()))
+        ix = jax.random.categorical(key, logits, shape=(n,))
+        text = letters[ix]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        is_end = (pos % doc_size == doc_size - 1) | (pos == n - 1)
+        return jnp.where(is_end, SEOF, text)
+
+    text_dev = gen_text(jax.random.PRNGKey(1234))
+    text_dev.block_until_ready()
+    log("corpus synthesized on device")
 
     # --- suffix array: cold (compile) then steady with a hard barrier ---
-    text_dev = jnp.asarray(prepared.text.astype(np.int32))
-
     def sa_barrier():
         sa = ft.suffix_array(text_dev)
-        # scalar dependency on the full result, materialized on host
-        return sa, int(jnp.sum(sa.astype(jnp.int64) & 1))
+        return sa, int(jnp.sum(sa & 1))
 
     t0 = time.perf_counter()
     sa, _ = sa_barrier()
@@ -78,52 +87,75 @@ def main():
     log(f"suffix array: {t_sa:.2f}s steady ({mb / t_sa:.2f} MiB/s on-device; "
         f"cold incl. compile {t_cold:.2f}s)")
 
+    # --- index packaging on device ---
+    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
+
+    def build_barrier():
+        arrays, n_marks = build_fm_arrays_device(
+            text_dev, sa, doc_starts_dev,
+            n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
+        )
+        jax.block_until_ready(arrays)
+        return arrays, int(n_marks)
+
     t0 = time.perf_counter()
-    index = ft.build_index(prepared, sa=sa)
+    arrays, n_marks = build_barrier()
+    t_build_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    arrays, n_marks = build_barrier()
     t_build = time.perf_counter() - t0
-    log(f"index packaging (incl. compile): {t_build:.2f}s; "
-        f"steady total build ~{mb/(t_sa+t_build):.2f} MiB/s")
+    log(f"index packaging: {t_build:.2f}s steady (cold {t_build_cold:.2f}s); "
+        f"steady total build {mb/(t_sa+t_build):.2f} MiB/s")
 
-    # --- backward search: chained iterations ---
+    meta = FMMeta(n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
+                  n_marks=n_marks, n_seg=int(arrays.bwt.shape[0]))
+    index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
+                    infos=[b"bench%d" % i for i in range(ndocs)])
+
+    # --- patterns: substrings of the corpus, sliced on device ---
     rng = np.random.default_rng(99)
-    starts = rng.integers(0, len(corpus) - P, size=B)
-    pats = [pattern_to_alpha(corpus[s : s + P]) for s in starts]
-    packed, _ = pack_patterns(pats, pad_b=B)
-    packed_dev = jnp.asarray(packed)
+    starts = (
+        rng.integers(0, ndocs, size=B) * doc_size
+        + rng.integers(0, doc_size - P - 2, size=B)
+    ).astype(np.int32)
+    starts = np.minimum(starts, n - P - 2)
 
-    n = index.meta.n
-    arrays = index.arrays
+    @jax.jit
+    def slice_patterns(text, starts):
+        idx = starts[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+        return jnp.take(text, idx, axis=0).astype(jnp.int32)
+
+    packed_dev = slice_patterns(text_dev, jnp.asarray(starts))
+    packed_dev.block_until_ready()
 
     @jax.jit
     def count_step(arrays, pats, acc):
-        # fold the accumulator into the input so iterations chain
         pats = pats + jnp.minimum(acc, 0).astype(jnp.int32)
         first, last = backward_search(arrays, n, pats)
         return acc + jnp.sum(last - first), first, last
 
     acc = jnp.int32(0)
-    acc, f, l = count_step(arrays, packed_dev, acc)  # compile
-    _ = int(acc)
+    acc, f, l = count_step(arrays, packed_dev, acc)
+    total = int(acc)
+    log(f"count sanity: {total} total matches over {B} patterns")
 
     acc = jnp.int32(0)
     t0 = time.perf_counter()
     for _i in range(iters):
         acc, f, l = count_step(arrays, packed_dev, acc)
-    _ = int(acc)  # host materialization barrier
+    _ = int(acc)
     dt = time.perf_counter() - t0
-    steps = B * packed.shape[1] * iters
+    steps = B * P * iters
     sps = steps / dt
     log(f"backward search: {sps/1e6:.2f}M steps/s/chip "
-        f"({dt/iters*1e3:.1f} ms per {B}x{packed.shape[1]} batch)")
+        f"({dt/iters*1e3:.1f} ms per {B}x{P} batch)")
 
-    # --- locate: chained ---
-    mark_period = index.meta.mark_period
-    rows_np = rng.integers(0, n, size=4096).astype(np.int32)
-    rows = jnp.asarray(rows_np)
+    # --- locate ---
+    rows = jnp.asarray(rng.integers(0, n, size=4096).astype(np.int32))
 
     @jax.jit
     def loc_step(arrays, rows, acc):
-        rows = rows + jnp.minimum(acc, 0).astype(jnp.int32)
+        rows = (rows + jnp.minimum(acc, 0).astype(jnp.int32)) % n
         offs = locate_rows(arrays, mark_period, rows)
         return acc + jnp.sum(offs), offs
 

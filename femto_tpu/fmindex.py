@@ -303,11 +303,30 @@ def build_index(
     mark_period: int = DEFAULT_MARK_PERIOD,
     sa: Optional[np.ndarray] = None,
     device_build: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> FMIndex:
-    """End-to-end single-device index build: SA and packaging on device."""
+    """End-to-end single-device index build: SA and packaging on device.
+
+    checkpoint_dir: if set, the suffix array is materialized there after the
+    sort phase and reused on re-runs — the analog of the reference's
+    disk-materialized per-phase bin files (dcx.hh:846-861), giving builds a
+    resume point.
+    """
+    from .metrics import metrics
     from .suffix import suffix_array
 
     n = prepared.n
+    if checkpoint_dir is not None and sa is None:
+        ckpt_path = os.path.join(checkpoint_dir, f"sa_{n}.npy")
+        if os.path.exists(ckpt_path):
+            sa = np.load(ckpt_path)
+        else:
+            with metrics.timer("build/suffix_array"):
+                sa = np.asarray(
+                    suffix_array(jnp.asarray(prepared.text.astype(np.int32)))
+                )
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            np.save(ckpt_path, sa)
     if device_build:
         from .ops.build_ops import build_fm_arrays_device
 

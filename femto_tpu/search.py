@@ -72,6 +72,11 @@ def count_ranges(
     index: FMIndex, patterns: Sequence[bytes]
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Row ranges [first, last) for each pattern."""
+    from .metrics import metrics
+
+    metrics.count("queries/count", len(patterns))
+    metrics.count("queries/backward_steps",
+                  sum(len(p) for p in patterns))
     if not patterns:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     pats, B = pack_patterns([pattern_to_alpha(p) for p in patterns])
@@ -89,9 +94,12 @@ def locate_range(
     index: FMIndex, first: int, last: int, max_matches: Optional[int] = None
 ) -> np.ndarray:
     """Text offsets for all rows in [first, last), ascending by row."""
+    from .metrics import metrics
+
     m = int(last - first)
     if max_matches is not None:
         m = min(m, max_matches)
+    metrics.count("queries/locate_rows", max(m, 0))
     if m <= 0:
         return np.zeros(0, dtype=np.int64)
     Bp = _bucket(m)
