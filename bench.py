@@ -38,7 +38,7 @@ def main():
     from femto_tpu.ops.search_ops import backward_search, locate_rows
 
     mb = float(os.environ.get("BENCH_MB", "32"))
-    B = int(os.environ.get("BENCH_BATCH", "8192"))
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     P = int(os.environ.get("BENCH_PATLEN", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     seg = int(os.environ.get("BENCH_SEG", "256"))

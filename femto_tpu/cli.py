@@ -128,6 +128,39 @@ def cmd_suffix_sort(args) -> int:
     return 0
 
 
+def cmd_bwt(args) -> int:
+    """Stage-by-stage pipeline debugging (bwt_tool/bwt_dump analog):
+    print the SA, BWT, and C-array summary for a small input."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .alphabet import bytes_to_alpha, CHARACTER_OFFSET, ALPHA_SIZE
+    from .suffix import suffix_array, bwt_from_sa
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    if args.limit:
+        data = data[: args.limit]
+    text = jnp.asarray(bytes_to_alpha(data).astype(np.int32))
+    sa = suffix_array(text)
+    bwt = np.asarray(bwt_from_sa(text, sa))
+    sa = np.asarray(sa)
+    counts = np.bincount(np.asarray(text), minlength=ALPHA_SIZE)
+    print(f"n={len(data)}")
+    if args.verbose:
+        for r in range(len(sa)):
+            ch = bwt[r] - CHARACTER_OFFSET
+            printable = chr(ch) if 32 <= ch < 127 else f"\\x{ch:02x}"
+            print(f"row {r}: SA={sa[r]} BWT={printable}")
+    else:
+        out = bytes((bwt - CHARACTER_OFFSET).astype(np.uint8))
+        sys.stdout.buffer.write(out)
+        sys.stdout.buffer.write(b"\n")
+    used = np.nonzero(counts)[0]
+    print(f"alphabet in use: {len(used)} symbols", file=sys.stderr)
+    return 0
+
+
 def cmd_flatten(args) -> int:
     index = _load_index(args.index)
     index.save_flat(args.out)
@@ -306,6 +339,12 @@ def main(argv=None) -> int:
     s.add_argument("input")
     s.add_argument("out")
     s.set_defaults(fn=cmd_suffix_sort)
+
+    s = sub.add_parser("bwt", help="dump SA/BWT for a small input (debug)")
+    s.add_argument("input")
+    s.add_argument("--limit", type=int, default=0)
+    s.add_argument("--verbose", action="store_true")
+    s.set_defaults(fn=cmd_bwt)
 
     s = sub.add_parser("flatten", help="pack an index into one file")
     s.add_argument("index")

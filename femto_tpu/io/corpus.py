@@ -61,6 +61,25 @@ def read_corpus(paths: Iterable[str],
     return prepare_documents(docs, infos)
 
 
+def read_zero(total_bytes: int, doc_size: int = 1 << 16,
+              seed: int = 0) -> PreparedText:
+    """Deterministic synthetic benchmark corpus — the analog of the
+    reference's `zero` input plugin (index_tool_support_zero.c), used for
+    construction benchmarking without real input files."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    docs: List[bytes] = []
+    remaining = total_bytes
+    while remaining > 0:
+        size = min(doc_size, remaining)
+        docs.append(
+            rng.integers(0, 4, size=size).astype("uint8").tobytes()
+        )
+        remaining -= size
+    return prepare_documents(docs)
+
+
 def read_fasta(paths: Iterable[str],
                reverse_complement: bool = False) -> PreparedText:
     """One document per FASTA record: headers stripped, sequence uppercased;

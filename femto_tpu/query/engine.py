@@ -42,12 +42,18 @@ from .results import (
 def term_ranges(index: FMIndex, term: QTerm,
                 max_results: int = 10000) -> List[Tuple[int, int, int]]:
     """Row ranges (first, last, cost) matching a term."""
-    lit = as_literal(term.regexp)
+    from .planning import matches_empty, streamline
+
+    regexp = streamline(term.regexp)
+    if matches_empty(regexp):
+        # empty string matches every row (query_planning semantics)
+        return [(0, index.meta.n, 0)]
+    lit = as_literal(regexp)
     if lit is not None and term.approx.cost_bound <= 1:
         first, last = count_ranges(index, [lit])
         f, l = int(first[0]), int(last[0])
         return [(f, l, 0)] if l > f else []
-    nfa = compile_nfa(term.regexp)
+    nfa = compile_nfa(regexp)
     matches = run_regexp(index, nfa, term.approx, max_results=max_results)
     return [(m.first, m.last, m.cost) for m in matches]
 
@@ -55,15 +61,18 @@ def term_ranges(index: FMIndex, term: QTerm,
 def find_strings(index: FMIndex, query: str,
                  max_results: int = 10000) -> List[RegexpMatch]:
     """femto.h find_strings: matching strings with ranges and costs."""
+    from .planning import streamline
+
     node = parse_query(query)
     if not isinstance(node, QTerm):
         raise ValueError("find_strings takes a single term, not a boolean")
-    lit = as_literal(node.regexp)
+    regexp = streamline(node.regexp)
+    lit = as_literal(regexp)
     if lit is not None and node.approx.cost_bound <= 1:
         first, last = count_ranges(index, [lit])
         f, l = int(first[0]), int(last[0])
         return [RegexpMatch(f, l, 0, lit)] if l > f else []
-    nfa = compile_nfa(node.regexp)
+    nfa = compile_nfa(regexp)
     return run_regexp(index, nfa, node.approx, max_results=max_results)
 
 

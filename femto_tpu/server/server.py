@@ -238,18 +238,69 @@ class FemtoServer:
         self.counter.stop()
 
 
+class IndexPool:
+    """LRU of loaded indexes, keyed by path — the analog of the reference
+    server's per-thread block cache over multiple mounted indexes
+    (server.h:626-631); mod_femto serves several indexes by URL path."""
+
+    def __init__(self, max_loaded: int = 4):
+        self.max_loaded = max_loaded
+        self._lock = threading.Lock()
+        self._servers: "dict[str, FemtoServer]" = {}
+        self._order: List[str] = []
+
+    def get(self, path: str) -> FemtoServer:
+        with self._lock:
+            if path in self._servers:
+                self._order.remove(path)
+                self._order.append(path)
+                return self._servers[path]
+        index = FMIndex.load(path)
+        srv = FemtoServer(index)
+        with self._lock:
+            self._servers[path] = srv
+            self._order.append(path)
+            while len(self._order) > self.max_loaded:
+                old = self._order.pop(0)
+                self._servers.pop(old).stop()
+        return srv
+
+    def stop(self):
+        with self._lock:
+            for srv in self._servers.values():
+                srv.stop()
+            self._servers.clear()
+            self._order.clear()
+
+
 def serve(index_path: str, host: str = "127.0.0.1", port: int = 7733,
           num_threads: int = 4):
-    """HTTP front end (mod_femto style: POST body = one protocol line)."""
-    index = FMIndex.load(index_path)
-    server = FemtoServer(index)
+    """HTTP front end (mod_femto style: POST body = one protocol line).
+
+    POST /              -> query the default index (index_path)
+    POST /femto/NAME/   -> query sibling index NAME in the same directory
+    GET  /stats         -> metrics snapshot
+    """
+    import os
+
+    pool = IndexPool()
+    default_server = pool.get(index_path)
+    base_dir = os.path.dirname(os.path.abspath(index_path))
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length).decode("utf-8", "replace")
             try:
-                resp = server.request(body)
+                srv = default_server
+                parts = [p for p in self.path.split("/") if p]
+                if len(parts) >= 2 and parts[0] == "femto":
+                    name = parts[1]
+                    cand = os.path.join(base_dir, name)
+                    if os.path.abspath(cand) != os.path.abspath(index_path) \
+                            and os.path.exists(cand):
+                        srv = pool.get(cand)
+                resp = srv.request(body)
                 code = 200
             except Exception as e:  # noqa: BLE001
                 resp = json.dumps({"error": str(e)})
@@ -261,15 +312,32 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 7733,
             self.end_headers()
             self.wfile.write(data)
 
+        def do_GET(self):
+            from ..metrics import metrics
+
+            if self.path.rstrip("/") == "/stats":
+                snap = dict(metrics.snapshot())
+                snap["batching"] = default_server.counter.stats
+                data = json.dumps(snap).encode()
+                code = 200
+            else:
+                data = b'{"error": "POST protocol requests to /"}'
+                code = 404
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def log_message(self, *a):
             pass
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     print(f"femto-tpu server on http://{host}:{port}/ "
-          f"(index: {index_path}, n={index.meta.n})")
+          f"(index: {index_path}, n={default_server.index.meta.n})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        server.stop()
+        pool.stop()

@@ -171,3 +171,17 @@ def test_approx_costs(corpus):
     assert any(m.match == b"quick" for m in ms)
     ms = find_strings(index, "APPROX 1:2:1:2 quack")  # needs subst: no match
     assert not any(m.match == b"quick" for m in ms)
+
+
+def test_query_planning(corpus):
+    docs, index = corpus
+    from femto_tpu.query.planning import matches_empty, streamline
+    from femto_tpu.query.parser import parse_query
+
+    # unanchored wildcards are hoisted: .*abc.* == abc
+    assert count_query(index, ".*quick.*") == regex_count(docs, "quick")
+    assert count_query(index, "quick.*") == regex_count(docs, "quick")
+    # empty-matching regexp matches every row
+    assert count_query(index, "a*") == index.meta.n
+    node = parse_query("x?")
+    assert matches_empty(node.regexp)
