@@ -118,3 +118,37 @@ def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
 def mark_value(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """Sampled text offset stored for marked row r (undefined if unmarked)."""
     return arrays.mark_vals[mark_rank(arrays, r)]
+
+
+def lf_mark_step(arrays: FMArrays, r: jax.Array):
+    """Fused locate step: one segment gather serves both the BWT symbol
+    read and the in-segment occurrence count, alongside the mark bitmap
+    lookups.  Returns (lf_row, is_marked, mark_val) — 4 gather rows per
+    step instead of 6 (see PERF.md: gather rows are the locate budget)."""
+    seg = arrays.bwt.shape[1]
+    words_per_seg = seg // 32
+    s = r // seg
+    off = r - s * seg
+
+    segdata = jnp.take(arrays.bwt, s, axis=0)               # [B, SEG]
+    c = segdata[jnp.arange(r.shape[0]), off].astype(jnp.int32)
+    base = arrays.occ_ckpt[s, c]                             # [B]
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    within = jnp.sum(
+        (segdata == c[:, None].astype(jnp.uint16)) & (iota < off[:, None]),
+        axis=1,
+    ).astype(jnp.int32)
+    lf = arrays.C[c] + base + within
+
+    words = jnp.take(arrays.mark_bits, s, axis=0)            # [B, W]
+    w_local = off // 32
+    word = words[jnp.arange(r.shape[0]), w_local]
+    bit = ((word >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+    widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+    full = jnp.where(widx < w_local[:, None], words, jnp.uint32(0))
+    cnt = jnp.sum(jax.lax.population_count(full), axis=1).astype(jnp.int32)
+    pmask = (jnp.uint32(1) << (r % 32).astype(jnp.uint32)) - jnp.uint32(1)
+    part = jax.lax.population_count(word & pmask).astype(jnp.int32)
+    grank = arrays.mark_ckpt[s] + cnt + part
+    mv = arrays.mark_vals[grank]
+    return lf, bit, mv

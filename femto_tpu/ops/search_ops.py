@@ -92,19 +92,24 @@ def locate_rows(arrays: FMArrays, mark_period: int, rows: jax.Array):
     """
     B = rows.shape[0]
 
-    def body(i, st):
-        rows, offs, done = st
-        is_m = R.marked(arrays, rows) & (~done)
-        mv = R.mark_value(arrays, rows)
+    def cond(st):
+        i, rows, offs, done = st
+        return (i <= mark_period) & jnp.any(~done)
+
+    def body(st):
+        i, rows, offs, done = st
+        nxt, bit, mv = R.lf_mark_step(arrays, rows)
+        is_m = bit & (~done)
         offs = jnp.where(is_m, mv + i, offs)
         done = done | is_m
-        nxt = R.lf_step(arrays, rows)
         rows = jnp.where(done, rows, nxt)
-        return rows, offs, done
+        return i + 1, rows, offs, done
 
     offs0 = jnp.full(B, -1, dtype=jnp.int32)
     done0 = jnp.zeros(B, dtype=bool)
-    _, offs, _ = jax.lax.fori_loop(0, mark_period + 1, body, (rows, offs0, done0))
+    _, _, offs, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rows, offs0, done0)
+    )
     return offs
 
 
