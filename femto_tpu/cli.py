@@ -56,7 +56,29 @@ def cmd_index(args) -> int:
 
 
 def cmd_search(args) -> int:
+    """Search one or more indexes (comma-separated paths fan the query
+    across them, like the reference's femto_search index list)."""
     from .query.engine import count_query, docs_query, find_strings
+
+    paths = args.index.split(",")
+    if len(paths) > 1:
+        from .multi import MultiIndex
+
+        mi = MultiIndex([_load_index(p) for p in paths])
+        for query in args.query:
+            if args.count:
+                print(f"{mi.count_query(query)} {query}")
+            else:
+                for doc, info, offs in mi.docs_query(
+                    query, max_matches=args.max_results,
+                    with_offsets=args.offsets,
+                ):
+                    if args.offsets:
+                        print(f"{info.decode('utf-8', 'replace')} "
+                              f"{' '.join(map(str, offs))}")
+                    else:
+                        print(info.decode("utf-8", "replace"))
+        return 0
 
     index = _load_index(args.index)
     for query in args.query:

@@ -60,6 +60,33 @@ class MultiIndex:
     def docs(self, pattern: bytes) -> List[int]:
         return sorted({d for d, _ in self.locate(pattern)})
 
+    # ---- query-language evaluation (documents live in exactly one shard,
+    #      so Boolean trees distribute over shards: evaluate per shard,
+    #      merge doc ids with the shard base) ----
+
+    def docs_query(self, query: str, max_matches: Optional[int] = None,
+                   with_offsets: bool = True):
+        from .query.engine import docs_query as _dq
+
+        out = []
+        for s, ix in enumerate(self.indexes):
+            for doc, info, offs in _dq(ix, query, max_matches=max_matches,
+                                       with_offsets=with_offsets):
+                out.append((doc + int(self.doc_base[s]), info, offs))
+            if max_matches is not None and len(out) >= max_matches:
+                break
+        return out[:max_matches] if max_matches is not None else out
+
+    def count_query(self, query: str) -> int:
+        from .query.engine import count_query as _cq
+        from .query.parser import parse_query
+        from .query.ast import QTerm
+
+        node = parse_query(query)
+        if isinstance(node, QTerm):
+            return sum(_cq(ix, query) for ix in self.indexes)
+        return len(self.docs_query(query, with_offsets=False))
+
 
 def build_chunked(docs: Sequence[bytes], chunk_docs: int,
                   **build_kwargs) -> MultiIndex:

@@ -83,3 +83,24 @@ def test_multi_index_matches_single(rng):
         assert int(mi.count([p])[0]) == naive_count(docs, p), p
         assert mi.locate(p) == naive_locate(docs, p), p
     assert mi.info(2) == b"doc0"  # doc 2 is first doc of chunk 1
+
+
+def test_multi_index_query_language(rng):
+    docs_a = [b"the quick brown fox", b"banana republic"]
+    docs_b = [b"lazy quick dogs", b"banana banana"]
+    mi_parts = []
+    import femto_tpu as ft
+    for docs in (docs_a, docs_b):
+        prepared = ft.prepare_documents(docs)
+        mi_parts.append(ft.build_index(prepared, seg=64, mark_period=8))
+    mi = MultiIndex(mi_parts)
+    alldocs = docs_a + docs_b
+    # term query counts sum across shards
+    assert mi.count_query("quick") == naive_count(alldocs, b"quick")
+    # boolean distributes over shards with doc bases
+    got = sorted(d for d, _, _ in mi.docs_query("quick AND banana"))
+    assert got == []
+    got = sorted(d for d, _, _ in mi.docs_query("quick OR banana"))
+    assert got == [0, 1, 2, 3]
+    got = sorted(d for d, _, _ in mi.docs_query("banana NOT republic"))
+    assert got == [3]
