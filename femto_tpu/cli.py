@@ -81,22 +81,40 @@ def cmd_search(args) -> int:
         return 0
 
     index = _load_index(args.index)
+    out_json = []
     for query in args.query:
         if args.matches:
-            for m in find_strings(index, query, max_results=args.max_results):
+            for m in find_strings(index, query, max_results=args.max_results,
+                                  icase=args.icase):
                 print(f"[{m.first},{m.last}) cost={m.cost} "
                       f"match={m.match!r} count={m.last - m.first}")
         elif args.count:
-            print(f"{count_query(index, query)} {query}")
+            c = count_query(index, query, icase=args.icase)
+            if args.json:
+                out_json.append({"query": query, "count": c})
+            else:
+                print(f"{c} {query}")
         else:
             rows = docs_query(index, query, max_matches=args.max_results,
-                              with_offsets=args.offsets)
-            for doc, info, offsets in rows:
-                if args.offsets:
-                    print(f"{info.decode('utf-8', 'replace')} "
-                          f"{' '.join(map(str, offsets))}")
-                else:
-                    print(info.decode("utf-8", "replace"))
+                              with_offsets=args.offsets, icase=args.icase)
+            if args.json:
+                out_json.append({
+                    "query": query,
+                    "results": [
+                        {"doc_info": info.decode("utf-8", "replace"),
+                         **({"offsets": offsets} if args.offsets else {})}
+                        for _, info, offsets in rows
+                    ],
+                })
+            else:
+                for doc, info, offsets in rows:
+                    if args.offsets:
+                        print(f"{info.decode('utf-8', 'replace')} "
+                              f"{' '.join(map(str, offsets))}")
+                    else:
+                        print(info.decode("utf-8", "replace"))
+    if args.json:
+        print(json.dumps(out_json if len(out_json) > 1 else out_json[0]))
     return 0
 
 
@@ -338,6 +356,9 @@ def main(argv=None) -> int:
     s.add_argument("--count", action="store_true")
     s.add_argument("--offsets", action="store_true")
     s.add_argument("--matches", action="store_true")
+    s.add_argument("--icase", action="store_true",
+                   help="case-insensitive matching")
+    s.add_argument("--json", action="store_true", help="JSON output")
     s.add_argument("--max-results", type=int, default=1000)
     s.set_defaults(fn=cmd_search)
 

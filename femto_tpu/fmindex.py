@@ -44,13 +44,24 @@ from .alphabet import (
 # scan cheap while the checkpoint overhead is ALPHA*4/SEG ≈ 4 bytes/row.
 DEFAULT_SEG = 256
 DEFAULT_MARK_PERIOD = 20
+L1_GROUP = 16  # segments per L1 checkpoint group (compact tier)
 
 
 class FMArrays(NamedTuple):
-    """Device-array portion of the index (a pytree leaf bundle)."""
+    """Device-array portion of the index (a pytree leaf bundle).
+
+    Two checkpoint tiers are supported (dispatched statically on
+    occ_ckpt.dtype):
+      * absolute:  occ_ckpt int32 absolute counts; occ_l1 is a [1, ALPHA]
+        dummy (default — fastest queries);
+      * compact:   occ_ckpt uint16 RELATIVE to the enclosing group's
+        occ_l1 int32 row (L1_GROUP segments per group) — 28% smaller
+        index for one extra (pipelined) gather stream per rank.
+    """
 
     bwt: jax.Array        # uint16[n_seg, SEG]; rows >= n hold INVALID_ALPHA
-    occ_ckpt: jax.Array   # int32[n_seg, ALPHA_SIZE]; occs before segment
+    occ_ckpt: jax.Array   # int32 absolute | uint16 relative [n_seg, ALPHA]
+    occ_l1: jax.Array     # int32[n_seg/L1_GROUP, ALPHA] | dummy [1, ALPHA]
     C: jax.Array          # int32[ALPHA_SIZE+1]; C[c] = #symbols < c
     mark_bits: jax.Array  # uint32[n_seg, SEG//32]; marked-row bitmap
     mark_ckpt: jax.Array  # int32[n_seg]; marked rows before segment
@@ -279,6 +290,7 @@ def build_fm_arrays(
     arrays = FMArrays(
         bwt=jnp.asarray(bwt2d),
         occ_ckpt=jnp.asarray(occ_ckpt),
+        occ_l1=jnp.zeros((1, ALPHA_SIZE), jnp.int32),
         C=jnp.asarray(C),
         mark_bits=jnp.asarray(mark_bits),
         mark_ckpt=jnp.asarray(mark_ckpt.astype(np.int32)),
@@ -304,6 +316,7 @@ def build_index(
     sa: Optional[np.ndarray] = None,
     device_build: bool = True,
     checkpoint_dir: Optional[str] = None,
+    compact: bool = False,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
@@ -343,6 +356,7 @@ def build_index(
             seg=seg,
             mark_period=mark_period,
             ndocs=prepared.num_docs,
+            compact=compact,
         )
         meta = FMMeta(
             n=n,

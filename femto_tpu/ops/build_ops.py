@@ -43,8 +43,10 @@ def _bwt_stage(text, sa, *, n, n_pad):
     return bwt, bwt_chars
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
-def _occ_stage(bwt_chars, *, n, n_seg, seg):
+@functools.partial(
+    jax.jit, static_argnames=("n", "n_seg", "seg", "compact")
+)
+def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False):
     idx = jnp.arange(n, dtype=jnp.int32)
     counts = jnp.zeros((ALPHA_SIZE,), jnp.int32).at[bwt_chars].add(1)
     C = jnp.concatenate(
@@ -63,7 +65,14 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg):
             jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32),
         ]
     )
-    return C, occ_ckpt
+    if not compact:
+        return C, occ_ckpt, jnp.zeros((1, ALPHA_SIZE), jnp.int32)
+    from ..fmindex import L1_GROUP
+
+    n_grp = n_seg // L1_GROUP
+    occ_l1 = occ_ckpt[:: L1_GROUP][:n_grp]
+    rel = occ_ckpt - jnp.repeat(occ_l1, L1_GROUP, axis=0)[:n_seg]
+    return C, rel.astype(jnp.uint16), occ_l1
 
 
 @functools.partial(
@@ -133,14 +142,29 @@ def build_fm_arrays_device(
     mark_period: int,
     ndocs: int,
     seg_multiple: int = 1,
+    compact: bool = False,
 ) -> Tuple[FMArrays, jax.Array]:
-    """Assemble FMArrays on device.  Returns (arrays, n_marks scalar)."""
+    """Assemble FMArrays on device.  Returns (arrays, n_marks scalar).
+
+    compact=True stores uint16 segment checkpoints relative to sparse int32
+    L1 group rows (see FMArrays docstring) — 28% smaller index."""
+    from ..fmindex import L1_GROUP
+
     n_seg = n // seg + 1
     n_seg = -(-n_seg // seg_multiple) * seg_multiple
+    if compact:
+        if seg * L1_GROUP > 0xFFFF:
+            raise ValueError(
+                "compact tier needs seg * L1_GROUP <= 65535 "
+                "(uint16 relative checkpoints)"
+            )
+        n_seg = -(-n_seg // L1_GROUP) * L1_GROUP
     n_pad = n_seg * seg
 
     bwt, bwt_chars = _bwt_stage(text, sa, n=n, n_pad=n_pad)
-    C, occ_ckpt = _occ_stage(bwt_chars, n=n, n_seg=n_seg, seg=seg)
+    C, occ_ckpt, occ_l1 = _occ_stage(
+        bwt_chars, n=n, n_seg=n_seg, seg=seg, compact=compact
+    )
     cap = mark_cap(n, ndocs, mark_period, seg)
     mark_bits, mark_ckpt, mark_vals, n_marks = _marks_stage(
         sa, doc_starts, n=n, n_pad=n_pad, seg=seg,
@@ -151,6 +175,7 @@ def build_fm_arrays_device(
     arrays = FMArrays(
         bwt=bwt.reshape(n_seg, seg),
         occ_ckpt=occ_ckpt,
+        occ_l1=occ_l1,
         C=C,
         mark_bits=mark_bits,
         mark_ckpt=mark_ckpt,

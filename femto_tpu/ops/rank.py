@@ -7,9 +7,10 @@ rank(c, r) is: a scalar checkpoint gather + a SEG-wide vectorized
 compare-and-count of the row's segment.  Batched over thousands of queries it
 is two gathers and one VPU reduction — no per-query control flow.
 
-A Pallas variant with software-pipelined HBM->VMEM segment DMA lives in
-rank_pallas.py; this module is the portable XLA lowering used everywhere and
-as the correctness oracle for the kernel.
+Design note: this gather-bound loop is intentionally NOT a Pallas kernel —
+XLA's native gather lowering pipelines concurrent gather streams better
+than per-query manual DMA could (measured; see PERF.md "Rank kernel design
+space").
 """
 
 from __future__ import annotations
@@ -18,7 +19,16 @@ import jax
 import jax.numpy as jnp
 
 from ..alphabet import ALPHA_SIZE
-from ..fmindex import FMArrays
+from ..fmindex import FMArrays, L1_GROUP
+
+
+def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
+    """Absolute occurrence count before segment s for char c, under either
+    checkpoint tier (dispatch is static: on occ_ckpt.dtype)."""
+    if arrays.occ_ckpt.dtype == jnp.uint16:
+        rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
+        return arrays.occ_l1[s // L1_GROUP, c] + rel
+    return arrays.occ_ckpt[s, c]
 
 
 def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
@@ -34,7 +44,7 @@ def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
     cc = jnp.where(valid, c, 0)
     s = r // seg
     off = r - s * seg
-    base = arrays.occ_ckpt[s, cc]                    # [B] gather
+    base = ckpt_base(arrays, s, cc)                  # [B] gather(s)
     segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
@@ -58,7 +68,7 @@ def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
     def one(r):
         s = r // seg
         off = r - s * seg
-        base = arrays.occ_ckpt[s, cc]
+        base = ckpt_base(arrays, s, cc)
         segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
         within = jnp.sum(
@@ -132,7 +142,7 @@ def lf_mark_step(arrays: FMArrays, r: jax.Array):
 
     segdata = jnp.take(arrays.bwt, s, axis=0)               # [B, SEG]
     c = segdata[jnp.arange(r.shape[0]), off].astype(jnp.int32)
-    base = arrays.occ_ckpt[s, c]                             # [B]
+    base = ckpt_base(arrays, s, c)                           # [B]
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == c[:, None].astype(jnp.uint16)) & (iota < off[:, None]),

@@ -147,7 +147,7 @@ def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
     def bs(_, st):
         lo, hi = st
         mid = (lo + hi + 1) // 2
-        v = arrays.occ_ckpt[mid, c]
+        v = R.ckpt_base(arrays, mid, c)
         go_right = v <= k
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid - 1)
@@ -156,7 +156,7 @@ def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
     steps = int(np.ceil(np.log2(max(n_seg, 2)))) + 1
     lo, _ = jax.lax.fori_loop(0, steps, bs, (lo, hi))
     s = lo
-    base = arrays.occ_ckpt[s, c]
+    base = R.ckpt_base(arrays, s, c)
     segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
     is_c = (segdata == c[:, None]).astype(jnp.int32)
     cum = jnp.cumsum(is_c, axis=1)  # occurrences up to and including column j

@@ -274,6 +274,7 @@ def build_index_sharded(
         occ_ckpt=jax.device_put(
             arrays.occ_ckpt, row if shardable(arrays.occ_ckpt) else rep
         ),
+        occ_l1=jax.device_put(arrays.occ_l1, rep),
         C=jax.device_put(arrays.C, rep),
         mark_bits=jax.device_put(
             arrays.mark_bits, row if shardable(arrays.mark_bits) else rep

@@ -144,6 +144,7 @@ def _specs_for_arrays(axis: str):
     return FMArrays(
         bwt=P(axis, None),
         occ_ckpt=P(axis, None),
+        occ_l1=P(),
         C=P(),
         mark_bits=P(axis, None),
         mark_ckpt=P(axis),

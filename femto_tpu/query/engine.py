@@ -58,12 +58,27 @@ def term_ranges(index: FMIndex, term: QTerm,
     return [(m.first, m.last, m.cost) for m in matches]
 
 
+def apply_icase(node: QNode) -> QNode:
+    """Case-fold every term's regexp in a Boolean tree (--icase)."""
+    from .planning import fold_case
+
+    if isinstance(node, QTerm):
+        return QTerm(regexp=fold_case(node.regexp), approx=node.approx)
+    node2 = type(node)(**{**node.__dict__})
+    node2.left = apply_icase(node.left)
+    node2.right = apply_icase(node.right)
+    return node2
+
+
 def find_strings(index: FMIndex, query: str,
-                 max_results: int = 10000) -> List[RegexpMatch]:
+                 max_results: int = 10000,
+                 icase: bool = False) -> List[RegexpMatch]:
     """femto.h find_strings: matching strings with ranges and costs."""
     from .planning import streamline
 
     node = parse_query(query)
+    if icase:
+        node = apply_icase(node)
     if not isinstance(node, QTerm):
         raise ValueError("find_strings takes a single term, not a boolean")
     regexp = streamline(node.regexp)
@@ -125,10 +140,12 @@ def execute(index: FMIndex, node: QNode, need_offsets: bool = True,
     raise TypeError(node)
 
 
-def count_query(index: FMIndex, query: str) -> int:
+def count_query(index: FMIndex, query: str, icase: bool = False) -> int:
     """Total matching positions for a (term) query; for Boolean queries,
     the number of matching documents."""
     node = parse_query(query)
+    if icase:
+        node = apply_icase(node)
     if isinstance(node, QTerm):
         iv = match_rows(
             [RegexpMatch(f, l, c, b"") for f, l, c in term_ranges(index, node)]
@@ -140,9 +157,12 @@ def count_query(index: FMIndex, query: str) -> int:
 
 def docs_query(index: FMIndex, query: str,
                max_matches: Optional[int] = None,
-               with_offsets: bool = True):
+               with_offsets: bool = True,
+               icase: bool = False):
     """find_docs: list of (doc_id, info, offsets) matching the query."""
     node = parse_query(query)
+    if icase:
+        node = apply_icase(node)
     res = execute(index, node, need_offsets=with_offsets,
                   max_matches=max_matches)
     out = []

@@ -15,6 +15,38 @@ import numpy as np
 from .ast import RAlt, RChar, RNode, RRep, RSeq, RStr, UNBOUNDED
 
 
+def fold_case(node: RNode) -> RNode:
+    """Case-insensitive transform (femto_search --icase,
+    search_tool.cc / toloweralpha index_types.h:75-84): every ASCII letter
+    becomes a two-letter character class; charset masks get both cases."""
+    from ..alphabet import CHARACTER_OFFSET
+
+    if isinstance(node, RStr):
+        if not any(65 <= b <= 90 or 97 <= b <= 122 for b in node.data):
+            return node
+        parts: list = []
+        for b in node.data:
+            if 65 <= b <= 90 or 97 <= b <= 122:
+                parts.append(RChar.from_bytes_set([b & ~0x20, b | 0x20]))
+            else:
+                parts.append(RStr(bytes([b])))
+        return RSeq(parts)
+    if isinstance(node, RChar):
+        mask = node.mask.copy()
+        for b in range(65, 91):
+            if mask[b + CHARACTER_OFFSET] or mask[b + 32 + CHARACTER_OFFSET]:
+                mask[b + CHARACTER_OFFSET] = True
+                mask[b + 32 + CHARACTER_OFFSET] = True
+        return RChar(mask)
+    if isinstance(node, RSeq):
+        return RSeq([fold_case(c) for c in node.children])
+    if isinstance(node, RAlt):
+        return RAlt([fold_case(c) for c in node.children])
+    if isinstance(node, RRep):
+        return RRep(fold_case(node.child), node.lo, node.hi)
+    raise TypeError(node)
+
+
 def matches_empty(node: RNode) -> bool:
     """Can the regexp match the empty string? (matches_empty_string)"""
     if isinstance(node, RStr):

@@ -185,3 +185,12 @@ def test_query_planning(corpus):
     assert count_query(index, "a*") == index.meta.n
     node = parse_query("x?")
     assert matches_empty(node.regexp)
+
+
+def test_icase(corpus):
+    docs, index = corpus
+    from femto_tpu.query.engine import count_query as cq
+
+    assert cq(index, "QUICK", icase=True) == regex_count(docs, "quick")
+    assert cq(index, "QUICK") == 0
+    assert cq(index, "Shee?P", icase=True) == regex_count(docs, "shee?p")
