@@ -76,56 +76,91 @@ def _backward_step(index: FMIndex, cs, firsts, lasts):
 NO_COST = 0xFF
 
 
+class _NFAMats:
+    """Flattened transition arrays for vectorized batched stepping:
+    src[T], dst[T], mask[T, ALPHA]."""
+
+    def __init__(self, nfa: NFA):
+        src, dst, masks = [], [], []
+        for s in range(nfa.num_states):
+            for mask, t in nfa.trans[s]:
+                src.append(s)
+                dst.append(t)
+                masks.append(mask)
+        self.num_states = nfa.num_states
+        self.src = np.asarray(src, dtype=np.int64)
+        self.dst = np.asarray(dst, dtype=np.int64)
+        if masks:
+            self.mask = np.stack(masks)  # [T, ALPHA]
+        else:
+            self.mask = np.zeros((0, ALPHA_SIZE), dtype=bool)
+
+
+def _nfa_mats(nfa: NFA) -> _NFAMats:
+    if not hasattr(nfa, "_mats"):
+        nfa._mats = _NFAMats(nfa)
+    return nfa._mats
+
+
 def _start_costs(nfa: NFA, settings: ApproxSettings) -> np.ndarray:
     """Initial cost vector: start state at 0, plus deletion relaxation."""
-    costs = np.full(nfa.num_states, NO_COST, dtype=np.int32)
-    costs[0] = 0
-    return _relax_deletions(nfa, costs, settings)
+    costs = np.full((1, nfa.num_states), NO_COST, dtype=np.int32)
+    costs[0, 0] = 0
+    return _relax_deletions_batch(_nfa_mats(nfa), costs, settings)[0]
 
 
-def _relax_deletions(nfa: NFA, costs: np.ndarray,
-                     settings: ApproxSettings) -> np.ndarray:
+def _relax_deletions_batch(mats: _NFAMats, costs: np.ndarray,
+                           settings: ApproxSettings) -> np.ndarray:
     """Deletion = pattern character missing from the data: advance the NFA
-    without consuming a text character, paying delete_cost."""
-    if settings.cost_bound <= 1:
+    without consuming a text character, paying delete_cost.
+    costs: int32[E, S], relaxed in place (returned)."""
+    if settings.cost_bound <= 1 or len(mats.src) == 0:
         return costs
-    changed = True
-    while changed:
-        changed = False
-        for s in range(nfa.num_states):
-            if costs[s] >= settings.cost_bound:
-                continue
-            nc = costs[s] + settings.delete_cost
-            if nc >= settings.cost_bound:
-                continue
-            for mask, t in nfa.trans[s]:
-                if nc < costs[t]:
-                    costs[t] = nc
-                    changed = True
+    E, S = costs.shape
+    rounds = max(1, -(-settings.cost_bound // max(settings.delete_cost, 1)))
+    eidx = np.repeat(np.arange(E), len(mats.src))
+    didx = np.tile(mats.dst, E)
+    for _ in range(rounds):
+        cand = costs[:, mats.src] + settings.delete_cost  # [E, T]
+        before = costs.copy()
+        np.minimum.at(costs, (eidx, didx), cand.reshape(-1))
+        costs[costs >= settings.cost_bound] = NO_COST
+        if (costs == before).all():
+            break
     return costs
+
+
+def _step_costs_batch(mats: _NFAMats, costs: np.ndarray, cs: np.ndarray,
+                      settings: ApproxSettings,
+                      allow_subst: bool) -> np.ndarray:
+    """Advance a batch of cost vectors by their text characters.
+    costs: int32[E, S]; cs: int[E]; returns int32[E, S]."""
+    E, S = costs.shape
+    out = np.full((E, S), NO_COST, dtype=np.int32)
+    if len(mats.src):
+        tc = mats.mask[:, cs].T                      # [E, T] char matches
+        base = costs[:, mats.src]                    # [E, T]
+        exact = np.where(tc, base, NO_COST)
+        eidx = np.repeat(np.arange(E), len(mats.src))
+        didx = np.tile(mats.dst, E)
+        np.minimum.at(out, (eidx, didx), exact.reshape(-1))
+        if allow_subst and settings.cost_bound > 1:
+            sub = np.where(~tc, base + settings.subst_cost, NO_COST)
+            np.minimum.at(out, (eidx, didx), sub.reshape(-1))
+    if settings.cost_bound > 1:
+        # insertion: extra character in the data; stay in the same state
+        out = np.minimum(out, costs + settings.insert_cost)
+    out[out >= settings.cost_bound] = NO_COST
+    return _relax_deletions_batch(mats, out, settings)
 
 
 def _step_costs(nfa: NFA, costs: np.ndarray, c: int,
                 settings: ApproxSettings, allow_subst: bool) -> np.ndarray:
-    """Advance cost vector by consuming text character c (backward step)."""
-    out = np.full(nfa.num_states, NO_COST, dtype=np.int32)
-    for s in range(nfa.num_states):
-        cost = costs[s]
-        if cost >= settings.cost_bound:
-            continue
-        for mask, t in nfa.trans[s]:
-            if mask[c]:
-                if cost < out[t]:
-                    out[t] = cost
-            elif allow_subst:
-                nc = cost + settings.subst_cost
-                if nc < settings.cost_bound and nc < out[t]:
-                    out[t] = nc
-        # insertion: extra character in the data; stay in state s
-        nc = cost + settings.insert_cost
-        if nc < settings.cost_bound and nc < out[s]:
-            out[s] = nc
-    return _relax_deletions(nfa, out, settings)
+    """Single-entry wrapper over the batched stepper."""
+    return _step_costs_batch(
+        _nfa_mats(nfa), costs[None, :].copy(), np.asarray([c]),
+        settings, allow_subst,
+    )[0]
 
 
 def _reachable_chars(nfa: NFA, costs: np.ndarray,
@@ -195,25 +230,32 @@ def run_regexp(
             break
         nf, nl = _backward_step(index, cs, fs, ls)
 
-        # merge forks into the next frontier (add_mapping semantics:
-        # range collision -> min-merge cost vectors, server.c:1571-1653)
-        nxt: Dict[Tuple[int, int], Tuple[np.ndarray, bytes]] = {}
+        # batch-step all surviving forks' cost vectors at once
         allow_subst = depth > 1  # no substitution at the pattern's last char
-        for c, ei, f2, l2 in zip(cs, owners, nf, nl):
-            if l2 <= f2:
-                continue
-            f0, l0, costs, s0 = frontier[ei]
-            nc = _step_costs(nfa, costs, c, settings, allow_subst)
-            if (nc >= settings.cost_bound).all():
-                continue
-            key = (int(f2), int(l2))
-            s1 = bytes([c]) + b"" if False else None
-            new_s = bytes([c - 5]) + s0 if c >= 5 else s0
-            if key in nxt:
-                old_c, old_s = nxt[key]
-                nxt[key] = (np.minimum(old_c, nc), old_s)
-            else:
-                nxt[key] = (nc, new_s)
+        surv = [i for i in range(len(cs)) if nl[i] > nf[i]]
+        nxt: Dict[Tuple[int, int], Tuple[np.ndarray, bytes]] = {}
+        if surv:
+            mats = _nfa_mats(nfa)
+            cost_block = np.stack([frontier[owners[i]][2] for i in surv])
+            char_block = np.asarray([cs[i] for i in surv])
+            stepped = _step_costs_batch(
+                mats, cost_block, char_block, settings, allow_subst
+            )
+            # merge forks into the next frontier (add_mapping semantics:
+            # range collision -> min-merge cost vectors, server.c:1571-1653)
+            for j, i in enumerate(surv):
+                nc = stepped[j]
+                if (nc >= settings.cost_bound).all():
+                    continue
+                c = cs[i]
+                key = (int(nf[i]), int(nl[i]))
+                s0 = frontier[owners[i]][3]
+                new_s = bytes([c - 5]) + s0 if c >= 5 else s0
+                if key in nxt:
+                    old_c, old_s = nxt[key]
+                    nxt[key] = (np.minimum(old_c, nc), old_s)
+                else:
+                    nxt[key] = (nc, new_s)
         frontier = []
         for (f2, l2), (nc, s) in nxt.items():
             fc = _final_cost(nfa, nc, settings)
