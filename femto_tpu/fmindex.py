@@ -329,6 +329,13 @@ def build_index(
     from .suffix import suffix_array
 
     n = prepared.n
+    if n == 0:
+        raise ValueError("cannot index an empty corpus")
+    if n >= 2**31:
+        raise ValueError(
+            "single-index corpora are limited to 2^31 symbols; use "
+            "femto_tpu.multi.build_chunked or the sharded builder"
+        )
     if checkpoint_dir is not None and sa is None:
         ckpt_path = os.path.join(checkpoint_dir, f"sa_{n}.npy")
         if os.path.exists(ckpt_path):

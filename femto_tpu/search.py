@@ -166,7 +166,6 @@ def extract_context(
     left = np.asarray(chars)[0][:before][::-1]
     # forward: psi-walk collecting first chars.
     out = []
-    r = np.int32(row)
     rr = jnp.asarray(np.array([row], dtype=np.int32))
     for _ in range(pattern_len + after):
         nxt, c = S.psi_step(index.arrays, n, rr)
