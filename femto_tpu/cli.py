@@ -83,7 +83,33 @@ def cmd_search(args) -> int:
     index = _load_index(args.index)
     out_json = []
     for query in args.query:
-        if args.matches:
+        if args.grep:
+            from .query.engine import term_ranges, apply_icase
+            from .query.parser import parse_query
+            from .query.ast import QTerm
+            from .search import extract_context, locate_range, offsets_to_docs
+
+            node = parse_query(query)
+            if args.icase:
+                node = apply_icase(node)
+            if not isinstance(node, QTerm):
+                print("--grep needs a single term", file=sys.stderr)
+                return 1
+            shown = 0
+            for f, l, cost in term_ranges(index, node):
+                for row in range(f, min(l, f + args.max_results - shown)):
+                    offs = locate_range(index, row, row + 1)
+                    doc, doc_off = offsets_to_docs(index, offs)
+                    ctx = extract_context(index, row, before=args.grep,
+                                          pattern_len=0,
+                                          after=args.grep + 16)
+                    info = index.infos[int(doc[0])].decode("utf-8", "replace")
+                    print(f"{info}:{int(doc_off[0])}: "
+                          f"{ctx.decode('utf-8', 'replace')}")
+                    shown += 1
+                if shown >= args.max_results:
+                    break
+        elif args.matches:
             for m in find_strings(index, query, max_results=args.max_results,
                                   icase=args.icase):
                 print(f"[{m.first},{m.last}) cost={m.cost} "
@@ -358,6 +384,8 @@ def main(argv=None) -> int:
     s.add_argument("--matches", action="store_true")
     s.add_argument("--icase", action="store_true",
                    help="case-insensitive matching")
+    s.add_argument("--grep", type=int, default=0, metavar="CTX",
+                   help="grep-style output with CTX chars of context")
     s.add_argument("--json", action="store_true", help="JSON output")
     s.add_argument("--max-results", type=int, default=1000)
     s.set_defaults(fn=cmd_search)

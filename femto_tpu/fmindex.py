@@ -133,9 +133,10 @@ class FMIndex:
             header_lens_np = (
                 z["header_lens_np"] if "header_lens_np" in z.files else None
             )
-            arrays = FMArrays(
-                **{k: jnp.asarray(z[k]) for k in FMArrays._fields}
-            )
+            vals = {k: z[k] for k in FMArrays._fields if k in z.files}
+            if "occ_l1" not in vals:  # pre-compact-tier index files
+                vals["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
+            arrays = FMArrays(**{k: jnp.asarray(v) for k, v in vals.items()})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np)
 
@@ -209,6 +210,8 @@ class FMIndex:
         header_lens_np = None
         if "header_lens_np" in arrs:
             header_lens_np = np.asarray(arrs.pop("header_lens_np"))
+        if "occ_l1" not in arrs:  # pre-compact-tier index files
+            arrs["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
         arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np)
