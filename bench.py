@@ -43,6 +43,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     seg = int(os.environ.get("BENCH_SEG", "256"))
     mark_period = int(os.environ.get("BENCH_MARK", "20"))
+    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
 
     dev = jax.devices()[0]
     log(f"device: {dev}, corpus {mb} MiB, batch {B}, patlen {P}")
@@ -94,6 +95,7 @@ def main():
         arrays, n_marks = build_fm_arrays_device(
             text_dev, sa, doc_starts_dev,
             n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
+            compact=compact,
         )
         jax.block_until_ready(arrays)
         return arrays, int(n_marks)
