@@ -100,3 +100,30 @@ def test_save_load(small_index, tmp_path):
         ft.count(loaded, [b"banana", b"an"]), ft.count(index, [b"banana", b"an"])
     )
     assert loaded.infos == index.infos
+
+
+def test_backward_search_steps_prev_range(small_index):
+    """Too-few-matches reporting: when the range empties, the last
+    non-empty range and matched-character count are preserved
+    (server.c:830-941 prev_first/prev_last semantics)."""
+    import jax.numpy as jnp
+
+    from femto_tpu.alphabet import pattern_to_alpha
+    from femto_tpu.ops.search_ops import backward_search_steps
+    from femto_tpu.search import pack_patterns
+
+    docs, index = small_index
+    pats, B = pack_patterns(
+        [pattern_to_alpha(b"\xfebanana"), pattern_to_alpha(b"banana")]
+    )
+    first, last, pf, pl, matched = backward_search_steps(
+        index.arrays, index.meta.n, jnp.asarray(pats)
+    )
+    # full pattern has no matches...
+    assert int(last[0]) <= int(first[0])
+    # ...but the suffix "banana" matched 6 characters
+    assert int(matched[0]) == 6
+    assert int(pl[0]) - int(pf[0]) == int(ft.count(index, [b"banana"])[0])
+    # fully-matching pattern: prev == final
+    assert int(matched[1]) == 6
+    assert (int(pf[1]), int(pl[1])) == (int(first[1]), int(last[1]))
