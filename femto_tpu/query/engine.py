@@ -120,13 +120,22 @@ def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
     return res
 
 
+# Boolean operands must be evaluated in full (truncating a term's doc list
+# before AND/NOT would drop valid results); this caps pathological terms.
+BOOLEAN_TERM_CAP = 1_000_000
+
+
 def execute(index: FMIndex, node: QNode, need_offsets: bool = True,
-            max_matches: Optional[int] = None) -> Results:
+            max_matches: Optional[int] = None,
+            _under_boolean: bool = False) -> Results:
     """Evaluate a Boolean/regexp query tree to a Results set."""
     if isinstance(node, QTerm):
-        return term_results(index, node, need_offsets, max_matches)
-    a = execute(index, node.left, need_offsets, max_matches)
-    b = execute(index, node.right, need_offsets, max_matches)
+        cap = BOOLEAN_TERM_CAP if _under_boolean else max_matches
+        return term_results(index, node, need_offsets, cap)
+    a = execute(index, node.left, need_offsets, max_matches,
+                _under_boolean=True)
+    b = execute(index, node.right, need_offsets, max_matches,
+                _under_boolean=True)
     if isinstance(node, QAnd):
         return intersect(a, b)
     if isinstance(node, QOr):
