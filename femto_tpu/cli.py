@@ -44,7 +44,8 @@ def cmd_index(args) -> int:
         prepared = read_corpus(args.input, max_bytes=args.max_bytes)
     print(f"read {prepared.num_docs} docs, {prepared.n} symbols",
           file=sys.stderr)
-    index = build_index(prepared, seg=args.seg, mark_period=args.mark_period)
+    index = build_index(prepared, seg=args.seg, mark_period=args.mark_period,
+                        compact=args.compact, doc_chunks=args.doc_chunks)
     if args.out.endswith(".ftpu"):
         index.save_flat(args.out)
     else:
@@ -374,6 +375,10 @@ def main(argv=None) -> int:
     s.add_argument("--seg", type=int, default=256)
     s.add_argument("--mark-period", type=int, default=20)
     s.add_argument("--max-bytes", type=int, default=None)
+    s.add_argument("--compact", action="store_true",
+                   help="uint16 relative checkpoints (smaller index)")
+    s.add_argument("--doc-chunks", action="store_true",
+                   help="store per-segment doc lists (fast doc queries)")
     s.set_defaults(fn=cmd_index)
 
     s = sub.add_parser("search", help="query an index")

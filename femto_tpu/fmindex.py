@@ -96,6 +96,12 @@ class FMIndex:
     doc_starts_np: np.ndarray  # int64[ndocs+1] host copy (region bounds)
     infos: List[bytes]
     header_lens_np: Optional[np.ndarray] = None  # int64[ndocs] or None
+    # Optional chunk doc-lists (block_format.txt:105-151 chunk doc lists /
+    # block_chunk_request index.c:2196): per segment, the sorted unique doc
+    # ids of its rows — lets docs-only queries skip per-row locate for
+    # whole segments.  Host-side ragged arrays.
+    chunk_doc_offsets_np: Optional[np.ndarray] = None  # int64[n_seg+1]
+    chunk_docs_np: Optional[np.ndarray] = None         # int32[total]
 
     @property
     def n(self) -> int:
@@ -118,6 +124,9 @@ class FMIndex:
         arrs["doc_starts_np"] = self.doc_starts_np
         if self.header_lens_np is not None:
             arrs["header_lens_np"] = self.header_lens_np
+        if self.chunk_docs_np is not None:
+            arrs["chunk_doc_offsets_np"] = self.chunk_doc_offsets_np
+            arrs["chunk_docs_np"] = self.chunk_docs_np
         np.savez(os.path.join(path, "arrays.npz"), **arrs)
 
     @classmethod
@@ -136,9 +145,12 @@ class FMIndex:
             vals = {k: z[k] for k in FMArrays._fields if k in z.files}
             if "occ_l1" not in vals:  # pre-compact-tier index files
                 vals["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
+            cdo = z["chunk_doc_offsets_np"] if "chunk_doc_offsets_np" in z.files else None
+            cdv = z["chunk_docs_np"] if "chunk_docs_np" in z.files else None
             arrays = FMArrays(**{k: jnp.asarray(v) for k, v in vals.items()})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
-                   infos=infos, header_lens_np=header_lens_np)
+                   infos=infos, header_lens_np=header_lens_np,
+                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv)
 
     # ---- single-file flat format (the analog of flatten_index's
     #      page-aligned .femto file, index.c:2260-2366) ----
@@ -155,6 +167,10 @@ class FMIndex:
         arrs["doc_starts_np"] = np.ascontiguousarray(self.doc_starts_np)
         if self.header_lens_np is not None:
             arrs["header_lens_np"] = np.ascontiguousarray(self.header_lens_np)
+        if self.chunk_docs_np is not None:
+            arrs["chunk_doc_offsets_np"] = np.ascontiguousarray(
+                self.chunk_doc_offsets_np)
+            arrs["chunk_docs_np"] = np.ascontiguousarray(self.chunk_docs_np)
         manifest = []
         # header is written last (need offsets); reserve after computing
         blobs = []
@@ -212,9 +228,14 @@ class FMIndex:
             header_lens_np = np.asarray(arrs.pop("header_lens_np"))
         if "occ_l1" not in arrs:  # pre-compact-tier index files
             arrs["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
+        cdo = (np.asarray(arrs.pop("chunk_doc_offsets_np"))
+               if "chunk_doc_offsets_np" in arrs else None)
+        cdv = (np.asarray(arrs.pop("chunk_docs_np"))
+               if "chunk_docs_np" in arrs else None)
         arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
-                   infos=infos, header_lens_np=header_lens_np)
+                   infos=infos, header_lens_np=header_lens_np,
+                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv)
 
 
 def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
@@ -312,6 +333,26 @@ def build_fm_arrays(
     return arrays, meta
 
 
+def compute_chunk_doc_lists(sa_np, doc_starts, seg: int, n_seg: int):
+    """Per-segment sorted unique doc ids (the chunk doc-lists of
+    block_format.txt:105-151, vectorized).  Returns (offsets int64[n_seg+1],
+    docs int32[total])."""
+    n = len(sa_np)
+    doc_of = (
+        np.searchsorted(doc_starts.astype(np.int64), sa_np, side="right") - 1
+    )
+    pad = n_seg * seg - n
+    d2 = np.concatenate([doc_of, np.full(pad, -1, dtype=doc_of.dtype)])
+    d2 = np.sort(d2.reshape(n_seg, seg), axis=1)
+    uniq = np.ones_like(d2, dtype=bool)
+    uniq[:, 1:] = d2[:, 1:] != d2[:, :-1]
+    uniq &= d2 >= 0
+    counts = uniq.sum(axis=1)
+    offsets = np.zeros(n_seg + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, d2[uniq].astype(np.int32)
+
+
 def build_index(
     prepared: PreparedText,
     seg: int = DEFAULT_SEG,
@@ -320,6 +361,7 @@ def build_index(
     device_build: bool = True,
     checkpoint_dir: Optional[str] = None,
     compact: bool = False,
+    doc_chunks: bool = False,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
@@ -385,10 +427,18 @@ def build_index(
             prepared.text, sa, prepared.doc_starts, seg=seg,
             mark_period=mark_period,
         )
-    return FMIndex(
+    index = FMIndex(
         arrays=arrays,
         meta=meta,
         doc_starts_np=prepared.doc_starts.astype(np.int64),
         infos=list(prepared.infos),
         header_lens_np=prepared.header_lens,
     )
+    if doc_chunks:
+        sa_np = np.asarray(sa_dev if device_build else sa).astype(np.int64)
+        offs, docs_arr = compute_chunk_doc_lists(
+            sa_np, prepared.doc_starts, seg, meta.n_seg
+        )
+        index.chunk_doc_offsets_np = offs
+        index.chunk_docs_np = docs_arr
+    return index

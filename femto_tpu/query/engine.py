@@ -14,7 +14,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..fmindex import FMIndex
-from ..search import count_ranges, locate_range, offsets_to_docs
+from ..search import count_ranges, locate_range, offsets_to_docs, range_docs
 from .ast import (
     ApproxSettings,
     QAnd,
@@ -97,6 +97,14 @@ def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
     # union of match row intervals (distinct matching positions)
     iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
     total = sum(l - f for f, l in iv)
+    if not need_offsets and index.chunk_docs_np is not None:
+        # docs-only fast path: chunk doc-lists serve whole segments
+        docs = [range_docs(index, f, l) for f, l in iv]
+        res = Results.from_docs(
+            np.concatenate(docs) if docs else np.zeros(0, np.int64)
+        )
+        res.count = total
+        return res
     docs_all, offs_all = [], []
     budget = max_matches
     for f, l in iv:

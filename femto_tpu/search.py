@@ -127,6 +127,34 @@ def offsets_to_docs(
     return doc.astype(np.int64), doc_off.astype(np.int64)
 
 
+def range_docs(index: FMIndex, first: int, last: int) -> np.ndarray:
+    """Unique doc ids for rows [first, last), using chunk doc-lists for
+    whole segments when the index carries them (range_to_results_query
+    whole-chunk path, server.c:4549) and per-row locate for the edges."""
+    if index.chunk_docs_np is None:
+        offs = locate_range(index, first, last)
+        doc, _ = offsets_to_docs(index, offs)
+        return np.unique(doc)
+    seg = index.meta.seg
+    s0 = -(-first // seg)   # first whole segment
+    s1 = last // seg        # end of whole segments
+    parts = []
+    if s1 > s0:
+        o = index.chunk_doc_offsets_np
+        parts.append(index.chunk_docs_np[o[s0]:o[s1]].astype(np.int64))
+        edges = [(first, min(s0 * seg, last)), (max(s1 * seg, first), last)]
+    else:
+        edges = [(first, last)]
+    for f, l in edges:
+        if l > f:
+            offs = locate_range(index, f, l)
+            d, _ = offsets_to_docs(index, offs)
+            parts.append(d)
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def locate(
     index: FMIndex, pattern: bytes, max_matches: Optional[int] = None
 ) -> List[Tuple[int, int]]:

@@ -104,3 +104,34 @@ def test_multi_index_query_language(rng):
     assert got == [0, 1, 2, 3]
     got = sorted(d for d, _, _ in mi.docs_query("banana NOT republic"))
     assert got == [3]
+
+
+def test_chunk_doc_lists(rng):
+    import femto_tpu as ft
+    from femto_tpu.search import range_docs
+    from tests.oracle import naive_docs
+
+    docs = [bytes(rng.integers(97, 100, size=400).astype(np.uint8))
+            for _ in range(12)]
+    prepared = ft.prepare_documents(docs)
+    plain = ft.build_index(prepared, seg=64, mark_period=8)
+    chunked = ft.build_index(prepared, seg=64, mark_period=8, doc_chunks=True)
+    assert chunked.chunk_docs_np is not None
+    for p in [b"a", b"ab", b"abc", b"ba"]:
+        f, l = ft.count_ranges(chunked, [p])
+        got = range_docs(chunked, int(f[0]), int(l[0])).tolist()
+        want_full = range_docs(plain, int(f[0]), int(l[0])).tolist()
+        assert got == want_full == naive_docs(docs, p), p
+    # boolean docs-only path uses chunks
+    from femto_tpu.query.engine import docs_query
+
+    got = [d for d, _, _ in docs_query(chunked, "a AND b", with_offsets=False)]
+    assert got == sorted(set(naive_docs(docs, b"a")) & set(naive_docs(docs, b"b")))
+    # persistence round-trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        chunked.save(os.path.join(td, "i"))
+        loaded = ft.FMIndex.load(os.path.join(td, "i"))
+        assert loaded.chunk_docs_np is not None
+        f, l = ft.count_ranges(loaded, [b"ab"])
+        assert range_docs(loaded, int(f[0]), int(l[0])).tolist() == naive_docs(docs, b"ab")
