@@ -346,6 +346,19 @@ def cmd_suffix_similarity(args) -> int:
     return 0
 
 
+def cmd_request(args) -> int:
+    """One-shot generic protocol request (femto_handle_request analog)."""
+    from .server.server import FemtoServer
+
+    index = _load_index(args.index)
+    srv = FemtoServer(index)
+    try:
+        print(srv.request(args.request))
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .server.server import serve
 
@@ -468,6 +481,11 @@ def main(argv=None) -> int:
     s.add_argument("--fasta", action="store_true")
     s.add_argument("--min-lcp", type=int, default=8)
     s.set_defaults(fn=cmd_suffix_similarity)
+
+    s = sub.add_parser("request", help="one-shot generic protocol request")
+    s.add_argument("index")
+    s.add_argument("request")
+    s.set_defaults(fn=cmd_request)
 
     s = sub.add_parser("serve", help="start the query server")
     s.add_argument("index")

@@ -10,7 +10,7 @@ C++ loader when built.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 from ..alphabet import PreparedText, prepare_documents
 

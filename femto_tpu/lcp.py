@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .alphabet import CHARACTER_OFFSET, PreparedText
+from .alphabet import PreparedText
 
 
 def lcp_array(text: np.ndarray, sa: np.ndarray) -> np.ndarray:

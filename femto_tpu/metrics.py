@@ -14,7 +14,7 @@ import contextlib
 import threading
 import time
 from collections import defaultdict
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 
 class Metrics:

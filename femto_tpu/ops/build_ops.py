@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabet import ALPHA_SIZE, INVALID_ALPHA
-from ..fmindex import FMArrays, FMMeta
+from ..fmindex import FMArrays
 
 
 def mark_cap(n: int, ndocs: int, mark_period: int, seg: int) -> int:

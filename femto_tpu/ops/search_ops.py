@@ -10,14 +10,11 @@ cache into dense array ops.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..alphabet import ALPHA_SIZE, CHARACTER_OFFSET
-from ..fmindex import FMArrays, FMMeta
+from ..fmindex import FMArrays
 from . import rank as R
 
 

@@ -22,7 +22,7 @@ owning global position p" (p // m), whose receive sizes are exactly balanced.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,14 +24,14 @@ return it so the host driver can retry with a larger capacity factor.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..alphabet import ALPHA_SIZE, INVALID_ALPHA
+from ..alphabet import INVALID_ALPHA
 from ..fmindex import DEFAULT_MARK_PERIOD, DEFAULT_SEG, FMArrays, FMMeta
 from . import bins
 from .dist_sort import dist_sort

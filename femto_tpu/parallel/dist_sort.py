@@ -15,7 +15,7 @@ Invalid/pad lanes sort to the end (key = INT32_MAX sentinel).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

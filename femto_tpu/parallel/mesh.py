@@ -7,7 +7,7 @@ one 1-D jax mesh axis plays the rank role; collectives ride ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

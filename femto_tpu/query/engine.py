@@ -16,7 +16,6 @@ import numpy as np
 from ..fmindex import FMIndex
 from ..search import count_ranges, locate_range, offsets_to_docs, range_docs
 from .ast import (
-    ApproxSettings,
     QAnd,
     QNode,
     QNot,

@@ -8,11 +8,7 @@ detects patterns that match the empty string (which match every row).
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import numpy as np
-
-from .ast import RAlt, RChar, RNode, RRep, RSeq, RStr, UNBOUNDED
+from .ast import RAlt, RChar, RNode, RRep, RSeq, RStr
 
 
 def fold_case(node: RNode) -> RNode:

@@ -24,11 +24,11 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from ..alphabet import ALPHA_SIZE, CHARACTER_OFFSET, pattern_to_alpha
+from ..alphabet import CHARACTER_OFFSET, pattern_to_alpha
 from ..fmindex import FMIndex
 from ..search import (
     count_ranges,
@@ -65,11 +65,7 @@ class _BatchingCounter:
         return h["result"]
 
     def _run(self):
-        from ..ops.search_ops import backward_search
-        import jax
-        import jax.numpy as jnp
-
-        meta = self.index.meta
+        import jax  # noqa: F401 — keeps the backend initialized per thread
 
         while not self._stop:
             try:

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .alphabet import ALPHA_SIZE
 
 
 def _doubling_round(rank: jax.Array, k: jax.Array, idx: jax.Array):

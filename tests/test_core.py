@@ -127,3 +127,20 @@ def test_backward_search_steps_prev_range(small_index):
     # fully-matching pattern: prev == final
     assert int(matched[1]) == 6
     assert (int(pf[1]), int(pl[1])) == (int(first[1]), int(last[1]))
+
+
+def test_mark_period_zero_count_only():
+    """mark_period=0 disables locate sampling (should_mark returns false,
+    index_types.h:136) — counts still work; locate yields no offsets."""
+    docs = [b"hello world", b"hello"]
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=0)
+    assert int(ft.count(index, [b"hello"])[0]) == 2
+    offs = ft.locate_range(index, 0, 4)
+    assert (offs == -1).all()
+
+
+def test_pattern_longer_than_docs(small_index):
+    docs, index = small_index
+    long_pat = b"x" * 2000
+    assert int(ft.count(index, [long_pat])[0]) == 0
