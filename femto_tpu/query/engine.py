@@ -39,8 +39,13 @@ from .results import (
 
 
 def term_ranges(index: FMIndex, term: QTerm,
-                max_results: int = 10000) -> List[Tuple[int, int, int]]:
-    """Row ranges (first, last, cost) matching a term."""
+                max_results: int = 10000,
+                device_frontier: bool = True) -> List[Tuple[int, int, int]]:
+    """Row ranges (first, last, cost) matching a term.
+
+    Regexp/approx terms run the device lockstep frontier (regexp_device.py,
+    one dispatch for the whole search) and fall back to the host layer
+    engine if its static capacities overflow."""
     from .planning import matches_empty, streamline
 
     regexp = streamline(term.regexp)
@@ -53,6 +58,14 @@ def term_ranges(index: FMIndex, term: QTerm,
         f, l = int(first[0]), int(last[0])
         return [(f, l, 0)] if l > f else []
     nfa = compile_nfa(regexp)
+    if device_frontier:
+        from .regexp_device import run_regexp_device
+
+        try:
+            matches = run_regexp_device(index, nfa, term.approx)
+            return [(m.first, m.last, m.cost) for m in matches]
+        except RuntimeError:
+            pass  # capacity overflow: fall back to the host engine
     matches = run_regexp(index, nfa, term.approx, max_results=max_results)
     return [(m.first, m.last, m.cost) for m in matches]
 
