@@ -178,28 +178,17 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         scost = nc.reshape(E, S)[sidx]
         s_av = av[sidx]
 
-        # segmented min over runs of equal (first,last): Hillis-Steele
-        def hs(stride, sc):
-            same = jnp.zeros((E,), bool)
-            same = same.at[stride:].set(
-                (sf[stride:] == sf[:-stride]) & (sl[stride:] == sl[:-stride])
-            )
-            shifted = jnp.concatenate(
-                [jnp.full((stride, S), NO_COST, jnp.int32), sc[:-stride]]
-            )
-            return jnp.where(same[:, None], jnp.minimum(sc, shifted), sc)
-
-        stride = 1
-        while stride < E:  # full segmented prefix-min over any run length
-            scost = hs(stride, scost)
-            stride *= 2
-
-        # ...merged value lands on the LAST entry of each run
-        is_last = jnp.ones((E,), bool)
-        is_last = is_last.at[:-1].set(
-            (sf[:-1] != sf[1:]) | (sl[:-1] != sl[1:])
+        # min-merge runs of equal (first, last): one segment_min over run ids
+        new_seg = jnp.ones((E,), bool)
+        new_seg = new_seg.at[1:].set((sf[1:] != sf[:-1]) | (sl[1:] != sl[:-1]))
+        run_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        merged = jax.ops.segment_min(
+            scost, run_id, num_segments=E, indices_are_sorted=True
         )
-        keep = s_av & is_last
+        scost = merged[run_id]
+
+        # keep one representative per run (its first entry)
+        keep = s_av & new_seg
 
         # 5. record accepting merged entries
         acc_cost = jnp.min(
