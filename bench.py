@@ -37,7 +37,7 @@ def main():
     from femto_tpu.ops.build_ops import build_fm_arrays_device
     from femto_tpu.ops.search_ops import backward_search, locate_rows
 
-    mb = float(os.environ.get("BENCH_MB", "32"))
+    mb = float(os.environ.get("BENCH_MB", "16"))
     B = int(os.environ.get("BENCH_BATCH", "32768"))
     P = int(os.environ.get("BENCH_PATLEN", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
