@@ -102,7 +102,12 @@ def find_strings(index: FMIndex, query: str,
         f, l = int(first[0]), int(last[0])
         return [RegexpMatch(f, l, 0, lit)] if l > f else []
     nfa = compile_nfa(regexp)
-    return run_regexp(index, nfa, node.approx, max_results=max_results)
+    try:
+        from .regexp_device import run_regexp_device
+
+        return run_regexp_device(index, nfa, node.approx, with_strings=True)
+    except RuntimeError:
+        return run_regexp(index, nfa, node.approx, max_results=max_results)
 
 
 def term_results(index: FMIndex, term: QTerm, need_offsets: bool,

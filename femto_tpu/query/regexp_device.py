@@ -100,6 +100,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     res_first = jnp.zeros((R,), jnp.int32)
     res_last = jnp.zeros((R,), jnp.int32)
     res_cost = jnp.full((R,), NO_COST, jnp.int32)
+    res_len = jnp.zeros((R,), jnp.int32)
     res_count = jnp.int32(0)
     overflow = jnp.int32(0)
 
@@ -122,7 +123,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         return jax.lax.fori_loop(0, cfg.del_rounds, body, c)
 
     def layer(state):
-        (first, last, costs, live, res_first, res_last, res_cost,
+        (first, last, costs, live, res_first, res_last, res_cost, res_len,
          res_count, overflow, depth) = state
 
         # 1. reachable chars per entry: live_src[F,T] @ mask[T,A]
@@ -200,6 +201,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         res_first = res_first.at[wslot].set(sf, mode="drop")
         res_last = res_last.at[wslot].set(sl, mode="drop")
         res_cost = res_cost.at[wslot].set(acc_cost, mode="drop")
+        res_len = res_len.at[wslot].set(depth + 1, mode="drop")
         n_hits = jnp.sum(hit.astype(jnp.int32))
         overflow = jnp.maximum(overflow, res_count + n_hits - R)
         res_count = jnp.minimum(res_count + n_hits, R)
@@ -218,18 +220,19 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         nlive = (jnp.arange(F) < jnp.minimum(n_keep, F))
 
         return (nfirst, nlast, ncosts, nlive, res_first, res_last,
-                res_cost, res_count, overflow, depth + 1)
+                res_cost, res_len, res_count, overflow, depth + 1)
 
     def cond(state):
         live = state[3]
-        depth = state[9]
+        depth = state[10]
         return jnp.any(live) & (depth < cfg.max_len)
 
     state = (first, last, costs, live, res_first, res_last, res_cost,
-             res_count, overflow, jnp.int32(0))
+             res_len, res_count, overflow, jnp.int32(0))
     state = jax.lax.while_loop(cond, layer, state)
-    (_, _, _, _, res_first, res_last, res_cost, res_count, overflow, _) = state
-    return res_first, res_last, res_cost, res_count, overflow
+    (_, _, _, _, res_first, res_last, res_cost, res_len, res_count,
+     overflow, _) = state
+    return res_first, res_last, res_cost, res_len, res_count, overflow
 
 
 def run_regexp_device(
@@ -239,10 +242,15 @@ def run_regexp_device(
     frontier_cap: int = 256,
     results_cap: int = 4096,
     max_len: int = 64,
+    with_strings: bool = False,
 ) -> List[RegexpMatch]:
-    """Device-frontier regex search.  Returns matches WITHOUT strings
-    (match=b""); raises RuntimeError if capacities overflow (caller should
-    fall back to the host engine or raise caps)."""
+    """Device-frontier regex search.
+
+    with_strings=True reconstructs each matched string by a batched
+    psi-walk from the match's first row (its length equals the layer depth
+    it was found at); otherwise matches carry match=b"".  Raises
+    RuntimeError if capacities overflow (caller should fall back to the
+    host engine or raise caps)."""
     src, dst, mask, accept, S_pad, T_pad = _nfa_device_arrays(nfa)
     c0 = np.full(S_pad, NO_COST, np.int32)
     c0[: nfa.num_states] = _start_costs(nfa, settings).astype(np.int32)
@@ -264,7 +272,7 @@ def run_regexp_device(
         insert=settings.insert_cost,
         del_rounds=del_rounds,
     )
-    rf, rl, rc, cnt, of = _run_device(
+    rf, rl, rc, rlen, cnt, of = _run_device(
         index.arrays, src, dst, mask, accept, costs0, cfg
     )
     if int(of) > 0:
@@ -272,7 +280,35 @@ def run_regexp_device(
             "device regex frontier overflow; raise frontier_cap/results_cap"
         )
     cnt = int(cnt)
-    rf, rl, rc = np.asarray(rf)[:cnt], np.asarray(rl)[:cnt], np.asarray(rc)[:cnt]
+    rf = np.asarray(rf)[:cnt]
+    rl = np.asarray(rl)[:cnt]
+    rc = np.asarray(rc)[:cnt]
+    rlen = np.asarray(rlen)[:cnt]
+    strings = [b""] * cnt
+    if with_strings and cnt:
+        strings = _reconstruct_strings(index, rf, rlen)
     return dedupe_matches(
-        [RegexpMatch(int(f), int(l), int(c), b"") for f, l, c in zip(rf, rl, rc)]
+        [RegexpMatch(int(f), int(l), int(c), s)
+         for f, l, c, s in zip(rf, rl, rc, strings)]
     )
+
+
+def _reconstruct_strings(index: FMIndex, rows: np.ndarray,
+                         lens: np.ndarray) -> List[bytes]:
+    """Batched forward psi-walk: the suffix at any row of a match range
+    starts with the matched string (forward_query semantics)."""
+    from ..ops.search_ops import psi_step
+
+    B = len(rows)
+    maxlen = int(lens.max()) if B else 0
+    rr = jnp.asarray(rows.astype(np.int32))
+    cols = []
+    for _ in range(maxlen):
+        rr, c = psi_step(index.arrays, index.meta.n, rr)
+        cols.append(np.asarray(c))
+    out = []
+    for i in range(B):
+        seq = [int(cols[t][i]) for t in range(int(lens[i]))]
+        out.append(bytes(b - CHARACTER_OFFSET for b in seq
+                         if b >= CHARACTER_OFFSET))
+    return out

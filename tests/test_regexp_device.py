@@ -55,3 +55,13 @@ def test_device_matches_host_approx(corpus, q, settings):
     host = run_regexp(index, nfa, settings)
     dev = run_regexp_device(index, nfa, settings)
     assert ranges(dev) == ranges(host), q
+
+
+def test_device_strings(corpus):
+    docs, index = corpus
+    node = parse_query("ban(ana|dana)")
+    nfa = compile_nfa(node.regexp)
+    dev = run_regexp_device(index, nfa, with_strings=True)
+    host = run_regexp(index, nfa)
+    assert sorted(m.match for m in dev) == sorted(m.match for m in host)
+    assert b"banana" in {m.match for m in dev}
