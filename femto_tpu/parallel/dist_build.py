@@ -80,9 +80,9 @@ def _dist_sa_shardmap(text_block: jax.Array, key: jax.Array, *, n: int,
     gidx = me * m + jnp.arange(m, dtype=jnp.int32)
     t = text_block.astype(jnp.int32)
 
-    t1 = _shift_left_blocks(t, 1, n_pad, 0, axis)
-    t2 = _shift_left_blocks(t, 2, n_pad, 0, axis)
-    rank = (t << 18) | (t1 << 9) | t2
+    shifts = [_shift_left_blocks(t, j, n_pad, 0, axis) for j in range(1, 6)]
+    rank = (t << 18) | (shifts[0] << 9) | shifts[1]
+    rank_b = (shifts[2] << 18) | (shifts[3] << 9) | shifts[4]
     # Pad suffixes are 0^j strings that only differ by length; prefix
     # doubling cannot separate them (both fall out of range in the same
     # round), so seed them with distinct, correctly ordered negative ranks:
@@ -91,9 +91,9 @@ def _dist_sa_shardmap(text_block: jax.Array, key: jax.Array, *, n: int,
     overflow = jnp.int32(0)
     done = jnp.bool_(False)
 
-    # densify + doubling rounds, k = 0 (densify), 3, 6, 12, ...
+    # densify (two 3-symbol keys -> 6-symbol prefixes) + doubling rounds
     ks = [0]
-    k = 3
+    k = 6
     while k < n_pad:
         ks.append(k)
         k *= 2
@@ -103,7 +103,7 @@ def _dist_sa_shardmap(text_block: jax.Array, key: jax.Array, *, n: int,
             rank, overflow = state
             kkey = jax.random.fold_in(key, k)
             if k == 0:
-                rank_k = jnp.zeros_like(rank)
+                rank_k = rank_b
             else:
                 rank_k = _shift_left_blocks(rank, k, n_pad, -1, axis)
             (s1, s2, sidx), _, of = dist_sort(
@@ -218,6 +218,17 @@ def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG):
     return out, n_pad
 
 
+def _pad_to_multiple(arr, d: int):
+    """Pad a 1-D array with -1 so its length divides the mesh size
+    (mark_vals is sharded by global mark rank; pad lanes never resolve)."""
+    import jax.numpy as jnp
+
+    pad = (-arr.shape[0]) % d
+    if pad == 0:
+        return arr
+    return jnp.concatenate([arr, jnp.full((pad,), -1, arr.dtype)])
+
+
 def build_index_sharded(
     prepared,
     mesh: Mesh,
@@ -251,7 +262,17 @@ def build_index_sharded(
             break
         cf *= 2.0
     else:
-        raise RuntimeError("distributed sort capacity overflow after retries")
+        # Deterministic last resort: cap = m (a single pair can never carry
+        # more than one device's whole block), memory-heavy but cannot
+        # overflow — the randomized-retry analog of MPI backpressure.
+        sa, bwt, overflow = dist_suffix_array(
+            text_dev, mesh, axis, cap_factor=float(D), seed=max_retries,
+            n=prepared.n,
+        )
+        if int(jax.device_get(overflow)) > 0:
+            raise RuntimeError(
+                "distributed sort capacity overflow even at cap=m"
+            )
 
     # Host packaging over the real (unpadded) rows: pad rows are the first
     # `pad` rows (all-zero suffixes sort before everything).
@@ -282,7 +303,7 @@ def build_index_sharded(
         mark_ckpt=jax.device_put(
             arrays.mark_ckpt, row if shardable(arrays.mark_ckpt) else rep
         ),
-        mark_vals=jax.device_put(arrays.mark_vals, rep),
+        mark_vals=jax.device_put(_pad_to_multiple(arrays.mark_vals, D), row),
         doc_starts=jax.device_put(arrays.doc_starts, rep),
         doc_seof_rows=jax.device_put(arrays.doc_seof_rows, rep),
     )

@@ -96,8 +96,7 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
     """Sharded locate: LF-walk to marked rows with mark metadata sharded."""
     seg = arrays.bwt.shape[1]
     me = jax.lax.axis_index(axis)
-    words_per_seg = seg // 32
-    n_marks_pad = arrays.mark_vals.shape[0]
+    mv_local = arrays.mark_vals.shape[0]  # local shard of the value array
 
     def mark_info(r):
         s = r // seg
@@ -116,8 +115,12 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
         grank = arrays.mark_ckpt[sl] + cnt + part
         is_m = jax.lax.psum(jnp.where(mine, bit.astype(jnp.int32), 0), axis) > 0
         grank = jax.lax.psum(jnp.where(mine, grank, 0), axis)
-        # mark_vals replicated (small); direct lookup
-        mv = arrays.mark_vals[jnp.minimum(grank, n_marks_pad - 1)]
+        # mark_vals is sharded by global mark rank: the owning shard
+        # resolves the value, everyone else contributes 0, one psum merges.
+        lrank = grank - me * mv_local
+        own = (lrank >= 0) & (lrank < mv_local)
+        v = arrays.mark_vals[jnp.where(own, lrank, 0)]
+        mv = jax.lax.psum(jnp.where(own, v, 0), axis)
         return is_m, mv
 
     B = rows.shape[0]
@@ -148,7 +151,7 @@ def _specs_for_arrays(axis: str):
         C=P(),
         mark_bits=P(axis, None),
         mark_ckpt=P(axis),
-        mark_vals=P(),
+        mark_vals=P(axis),
         doc_starts=P(),
         doc_seof_rows=P(),
     )

@@ -57,11 +57,21 @@ def suffix_array(text: jax.Array) -> jax.Array:
         return idx
 
     # Initial rank: pack 3 symbols (9 bits each, values < 512) -> 27-bit key.
-    t1 = jnp.where(idx < n - 1, jnp.roll(t, -1), 0)
-    t2 = jnp.where(idx < n - 2, jnp.roll(t, -2), 0)
-    rank = (t << 18) | (t1 << 9) | t2
-    # Densify so cumsum-based ranks stay small.
-    rank, nuniq, perm = _doubling_round(rank, jnp.int32(0), idx)
+    # Initial densify sorts by TWO packed 3-symbol keys, so round one
+    # already orders 6-symbol prefixes and k starts at 6 (one fewer
+    # doubling round than a single 3-symbol pack).
+    def pack3(shift):
+        a = jnp.where(idx < n - shift, jnp.roll(t, -shift), 0)
+        b = jnp.where(idx < n - shift - 1, jnp.roll(t, -shift - 1), 0)
+        c = jnp.where(idx < n - shift - 2, jnp.roll(t, -shift - 2), 0)
+        return (a << 18) | (b << 9) | c
+
+    s1, s2, perm = jax.lax.sort((pack3(0), pack3(3), idx), num_keys=2)
+    head = jnp.zeros((1,), dtype=jnp.int32)
+    diff = ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)
+    new_rank_sorted = jnp.concatenate([head, jnp.cumsum(diff)])
+    nuniq = new_rank_sorted[-1] + 1
+    rank = jnp.zeros_like(t).at[perm].set(new_rank_sorted)
 
     def cond(state):
         rank, k, nuniq, perm = state
@@ -73,7 +83,7 @@ def suffix_array(text: jax.Array) -> jax.Array:
         return new_rank, k * 2, new_nuniq, perm
 
     rank, _, _, perm = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(3), nuniq, perm)
+        cond, body, (rank, jnp.int32(6), nuniq, perm)
     )
     # perm from the final round is the suffix array (ranks all unique).
     return perm
