@@ -101,3 +101,67 @@ def build_chunked(docs: Sequence[bytes], chunk_docs: int,
         prepared = prepare_documents(docs[i : i + chunk_docs])
         indexes.append(build_index(prepared, **build_kwargs))
     return MultiIndex(indexes)
+
+
+def merge_indexes(indexes: Sequence[FMIndex], **build_kwargs) -> FMIndex:
+    """Merge several indexes into one by self-extraction + rebuild.
+
+    The reference's BWT-level index_merge is compiled out and dead
+    (index.h:47 SUPPORT_INDEX_MERGE 0); on TPU a rebuild IS the merge —
+    the suffix sort runs at device speed, and documents are reconstructed
+    from the indexes themselves (no original corpus needed)."""
+    from .alphabet import prepare_documents
+    from .fmindex import build_index
+    from .search import extract_all_documents
+
+    docs: List[bytes] = []
+    infos: List[bytes] = []
+    for ix in indexes:
+        docs.extend(extract_all_documents(ix))
+        infos.extend(ix.infos)
+    return build_index(prepare_documents(docs, infos), **build_kwargs)
+
+
+class IncrementalIndex:
+    """LSM-style incremental indexing over MultiIndex shards.
+
+    add_documents() builds a new shard; when the shard count exceeds
+    max_shards, the smallest shards are compacted (merged + rebuilt) —
+    amortized-logarithmic rebuild cost, always-queryable."""
+
+    def __init__(self, max_shards: int = 4, **build_kwargs):
+        self.max_shards = max_shards
+        self.build_kwargs = build_kwargs
+        self.multi = MultiIndex([])
+
+    def add_documents(self, docs: Sequence[bytes],
+                      infos: Optional[Sequence[bytes]] = None) -> None:
+        from .alphabet import prepare_documents
+        from .fmindex import build_index
+
+        shard = build_index(prepare_documents(docs, infos),
+                            **self.build_kwargs)
+        shards = self.multi.indexes + [shard]
+        if len(shards) > self.max_shards:
+            shards.sort(key=lambda ix: ix.meta.n)
+            k = len(shards) - self.max_shards + 1
+            merged = merge_indexes(shards[:k], **self.build_kwargs)
+            shards = [merged] + shards[k:]
+        self.multi = MultiIndex(shards)
+
+    # query surface delegates to MultiIndex
+    def count(self, patterns):
+        return self.multi.count(patterns)
+
+    def locate(self, pattern, max_matches=None):
+        return self.multi.locate(pattern, max_matches)
+
+    def docs_query(self, query, **kw):
+        return self.multi.docs_query(query, **kw)
+
+    def count_query(self, query):
+        return self.multi.count_query(query)
+
+    @property
+    def num_docs(self):
+        return self.multi.num_docs

@@ -181,6 +181,33 @@ def extract_document(index: FMIndex, doc_id: int) -> bytes:
     return (seq - CHARACTER_OFFSET).astype(np.uint8).tobytes()
 
 
+def extract_all_documents(index: FMIndex) -> List[bytes]:
+    """Reconstruct every document from the index in one batched LF walk
+    (rows = all doc SEOF rows, steps = longest document)."""
+    starts = index.doc_starts_np
+    lens = (np.diff(starts) - 1).astype(np.int64)
+    if index.header_lens_np is not None:
+        lens = lens - index.header_lens_np
+    ndocs = len(lens)
+    if ndocs == 0:
+        return []
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return [b""] * ndocs
+    Bp = _bucket(ndocs)
+    rows = np.zeros(Bp, dtype=np.int32)
+    rows[:ndocs] = np.asarray(index.arrays.doc_seof_rows)
+    chars, _ = _extract_jit(index.arrays, index.meta.n, jnp.asarray(rows),
+                            maxlen)
+    chars = np.asarray(chars)[:ndocs]
+    out = []
+    for d in range(ndocs):
+        L = int(lens[d])
+        seq = chars[d][:L][::-1]
+        out.append((seq - CHARACTER_OFFSET).astype(np.uint8).tobytes())
+    return out
+
+
 def extract_context(
     index: FMIndex, row: int, before: int, pattern_len: int, after: int
 ) -> bytes:

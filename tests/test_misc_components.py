@@ -135,3 +135,39 @@ def test_chunk_doc_lists(rng):
         assert loaded.chunk_docs_np is not None
         f, l = ft.count_ranges(loaded, [b"ab"])
         assert range_docs(loaded, int(f[0]), int(l[0])).tolist() == naive_docs(docs, b"ab")
+
+
+def test_extract_all_documents(rng):
+    import femto_tpu as ft
+    from femto_tpu.search import extract_all_documents
+
+    docs = [b"", b"abc", bytes(rng.integers(0, 256, size=500).astype(np.uint8)),
+            b"x" * 70]
+    index = ft.build_index(ft.prepare_documents(docs), seg=64, mark_period=8)
+    assert extract_all_documents(index) == docs
+
+
+def test_merge_indexes_and_incremental(rng):
+    import femto_tpu as ft
+    from femto_tpu.multi import IncrementalIndex, merge_indexes
+
+    batches = [
+        [b"the quick brown fox", b"first batch doc"],
+        [b"banana banana", b"second batch"],
+        [b"third quick batch", bytes(rng.integers(0, 256, 200).astype(np.uint8))],
+        [b"fourth", b"quick again"],
+    ]
+    inc = IncrementalIndex(max_shards=2, seg=64, mark_period=8)
+    alldocs = []
+    for b in batches:
+        inc.add_documents(b)
+        alldocs.extend(b)
+        assert int(inc.count([b"quick"])[0]) == naive_count(alldocs, b"quick")
+    # compaction kept shard count bounded
+    assert len(inc.multi.indexes) <= 2
+    assert inc.num_docs == len(alldocs)
+    assert inc.locate(b"banana") == naive_locate(alldocs, b"banana")
+    # direct merge preserves content and infos
+    merged = merge_indexes(inc.multi.indexes, seg=64, mark_period=8)
+    assert int(ft.count(merged, [b"quick"])[0]) == naive_count(alldocs, b"quick")
+    assert merged.num_docs == len(alldocs)
