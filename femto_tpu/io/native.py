@@ -44,6 +44,8 @@ def ensure_built(quiet: bool = True) -> bool:
     lib.ft_version.restype = ctypes.c_int
     lib.ft_corpus_sizes.restype = ctypes.c_int
     lib.ft_corpus_fill.restype = ctypes.c_int
+    lib.ft_corpus_sizes_hdr.restype = ctypes.c_int
+    lib.ft_corpus_fill_hdr.restype = ctypes.c_int
     lib.ft_fasta_sizes.restype = ctypes.c_int
     lib.ft_fasta_fill.restype = ctypes.c_int
     _lib = lib
@@ -59,9 +61,13 @@ def _path_array(paths: Sequence[str]):
 
 
 def prepare_corpus_native(
-    paths: Sequence[str], n_threads: int = 0
+    paths: Sequence[str], n_threads: int = 0,
+    path_headers: bool = False,
 ) -> Optional[PreparedText]:
-    """Two-pass native corpus preparation (one document per file)."""
+    """Two-pass native corpus preparation (one document per file).
+
+    path_headers=True stores each file's path as a searchable SOH/EOH
+    header section (the reference's doc-URL headers)."""
     if not ensure_built():
         return None
     if n_threads <= 0:
@@ -69,21 +75,35 @@ def prepare_corpus_native(
     arr, keep = _path_array(paths)
     total = ctypes.c_int64()
     ndocs = ctypes.c_int64()
-    if _lib.ft_corpus_sizes(arr, len(paths), ctypes.byref(total),
-                            ctypes.byref(ndocs)) != 0:
+    sizes_fn = (_lib.ft_corpus_sizes_hdr if path_headers
+                else _lib.ft_corpus_sizes)
+    if sizes_fn(arr, len(paths), ctypes.byref(total),
+                ctypes.byref(ndocs)) != 0:
         raise OSError("unreadable input file")
     text = np.empty(total.value, dtype=np.uint16)
     starts = np.empty(ndocs.value + 1, dtype=np.int64)
-    rc = _lib.ft_corpus_fill(
-        arr, len(paths),
-        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_threads,
-    )
+    header_lens = None
+    if path_headers:
+        header_lens = np.empty(ndocs.value, dtype=np.int64)
+        rc = _lib.ft_corpus_fill_hdr(
+            arr, len(paths),
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            header_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+    else:
+        rc = _lib.ft_corpus_fill(
+            arr, len(paths),
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
     if rc != 0:
         raise OSError("corpus read failed")
     infos = [p.encode() for p in paths]
-    return PreparedText(text=text, doc_starts=starts, infos=infos)
+    return PreparedText(text=text, doc_starts=starts, infos=infos,
+                        header_lens=header_lens)
 
 
 def prepare_fasta_native(

@@ -99,8 +99,9 @@ extern "C" {
 
 int ft_version() { return 1; }
 
-// Pass 1: compute total prepared length (bytes + 1 SEOF per doc) and doc
-// count.  Returns 0 on success, -1 if any file is unreadable.
+// Pass 1: compute total prepared length (bytes + 1 SEOF per doc, plus
+// SOH+path+EOH when with_path_headers != 0) and doc count.
+// Returns 0 on success, -1 if any file is unreadable.
 int ft_corpus_sizes(const char** paths, int64_t n_paths,
                     int64_t* total_alpha, int64_t* n_docs) {
   int64_t total = 0;
@@ -114,16 +115,36 @@ int ft_corpus_sizes(const char** paths, int64_t n_paths,
   return 0;
 }
 
-// Pass 2: fill text (uint16[total_alpha]) and starts (int64[n_docs+1]).
-// Reads and translates files with a thread pool.
-int ft_corpus_fill(const char** paths, int64_t n_paths, uint16_t* text,
-                   int64_t* starts, int n_threads) {
-  // compute starts serially (cheap stat calls)
+int ft_corpus_sizes_hdr(const char** paths, int64_t n_paths,
+                        int64_t* total_alpha, int64_t* n_docs) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_paths; ++i) {
+    int64_t sz = file_size(paths[i]);
+    if (sz < 0) return -1;
+    total += sz + 1 + static_cast<int64_t>(strlen(paths[i])) + 2;
+  }
+  *total_alpha = total;
+  *n_docs = n_paths;
+  return 0;
+}
+
+namespace {
+constexpr uint16_t kSoh = 3;
+constexpr uint16_t kEoh = 4;
+
+// Shared fill: header_lens == nullptr -> plain layout (content + SEOF);
+// otherwise SOH+path+EOH+content+SEOF with per-doc header region lengths.
+int corpus_fill_impl(const char** paths, int64_t n_paths, uint16_t* text,
+                     int64_t* starts, int64_t* header_lens, int n_threads) {
   starts[0] = 0;
   for (int64_t i = 0; i < n_paths; ++i) {
     int64_t sz = file_size(paths[i]);
     if (sz < 0) return -1;
-    starts[i + 1] = starts[i] + sz + 1;
+    int64_t hdr = header_lens
+                      ? static_cast<int64_t>(strlen(paths[i])) + 2
+                      : 0;
+    if (header_lens) header_lens[i] = hdr;
+    starts[i + 1] = starts[i] + hdr + sz + 1;
   }
   if (n_threads < 1) n_threads = 1;
   std::atomic<int64_t> next(0);
@@ -137,19 +158,42 @@ int ft_corpus_fill(const char** paths, int64_t n_paths, uint16_t* text,
         failed.store(1);
         return;
       }
-      int64_t want = starts[i + 1] - starts[i] - 1;
+      uint16_t* dst = text + starts[i];
+      int64_t hdr = header_lens ? header_lens[i] : 0;
+      if (hdr) {
+        dst[0] = kSoh;
+        translate(reinterpret_cast<const uint8_t*>(paths[i]), hdr - 2,
+                  dst + 1);
+        dst[hdr - 1] = kEoh;
+      }
+      int64_t want = starts[i + 1] - starts[i] - hdr - 1;
       int64_t len = static_cast<int64_t>(buf.size());
       if (len > want) len = want;  // file changed size: clamp
-      uint16_t* dst = text + starts[i];
-      translate(buf.data(), len, dst);
-      for (int64_t k = len; k < want; ++k) dst[k] = kCharacterOffset;
-      dst[want] = kSeof;
+      translate(buf.data(), len, dst + hdr);
+      for (int64_t k = len; k < want; ++k) dst[hdr + k] = kCharacterOffset;
+      dst[hdr + want] = kSeof;
     }
   };
   std::vector<std::thread> pool;
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return failed.load() ? -1 : 0;
+}
+}  // namespace
+
+// Pass 2: fill text (uint16[total_alpha]) and starts (int64[n_docs+1]).
+// Reads and translates files with a thread pool.
+int ft_corpus_fill(const char** paths, int64_t n_paths, uint16_t* text,
+                   int64_t* starts, int n_threads) {
+  return corpus_fill_impl(paths, n_paths, text, starts, nullptr, n_threads);
+}
+
+// Variant storing each file's path as a searchable SOH/EOH header section.
+int ft_corpus_fill_hdr(const char** paths, int64_t n_paths, uint16_t* text,
+                       int64_t* starts, int64_t* header_lens,
+                       int n_threads) {
+  return corpus_fill_impl(paths, n_paths, text, starts, header_lens,
+                          n_threads);
 }
 
 // FASTA: pass 1 computes record count + total length (records across all

@@ -53,3 +53,26 @@ def test_fasta_rc_non_acgt(tmp_path):
     fn = prepare_fasta_native([str(fa)], reverse_complement=True)
     fp = read_fasta([str(fa)], reverse_complement=True)
     np.testing.assert_array_equal(fn.text, fp.text)
+
+
+def test_path_headers(tmp_path):
+    import femto_tpu as ft
+
+    p1 = tmp_path / "alpha.txt"
+    p1.write_bytes(b"the quick brown fox")
+    p2 = tmp_path / "beta.txt"
+    p2.write_bytes(b"lazy dogs")
+    paths = [str(p1), str(p2)]
+    pn = prepare_corpus_native(paths, path_headers=True)
+    pp = ft.prepare_documents(
+        [p.encode() and open(p, "rb").read() for p in paths],
+        infos=[p.encode() for p in paths],
+        headers=[p.encode() for p in paths],
+    )
+    np.testing.assert_array_equal(pn.text, pp.text)
+    np.testing.assert_array_equal(pn.doc_starts, pp.doc_starts)
+    np.testing.assert_array_equal(pn.header_lens, pp.header_lens)
+    # headers are searchable: path text occurs in the index
+    index = ft.build_index(pn, seg=64, mark_period=8)
+    assert int(ft.count(index, [b"alpha.txt"])[0]) == 1
+    assert ft.extract_document(index, 0) == b"the quick brown fox"
