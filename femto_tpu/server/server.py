@@ -316,6 +316,17 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 7733,
                 snap["batching"] = default_server.counter.stats
                 data = json.dumps(snap).encode()
                 code = 200
+            elif self.path in ("/", "/index.html"):
+                # minimal browser search UI (the mod_femto/femto-js analog)
+                ui = os.path.join(os.path.dirname(__file__), "ui.html")
+                with open(ui, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             else:
                 data = b'{"error": "POST protocol requests to /"}'
                 code = 404
