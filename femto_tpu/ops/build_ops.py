@@ -47,17 +47,23 @@ def _bwt_stage(text, sa, *, n, n_pad):
     jax.jit, static_argnames=("n", "n_seg", "seg", "compact")
 )
 def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False):
-    idx = jnp.arange(n, dtype=jnp.int32)
-    counts = jnp.zeros((ALPHA_SIZE,), jnp.int32).at[bwt_chars].add(1)
+    # Per-segment histogram as a chunked compare-reduce (scatter-add lowers
+    # ~12x slower on TPU for this shape; measured in PERF.md).
+    CH = 512
+    nchunks = -(-n_seg // CH)
+    b2 = jnp.full((nchunks * CH * seg,), -1, jnp.int32)
+    b2 = jax.lax.dynamic_update_slice(b2, bwt_chars, (0,))
+    b3 = b2.reshape(nchunks, CH, seg)
+
+    def chunk(bc):
+        return jnp.sum(
+            bc[:, :, None] == jnp.arange(ALPHA_SIZE)[None, None, :], axis=1
+        ).astype(jnp.int32)
+
+    per_seg = jax.lax.map(chunk, b3).reshape(-1, ALPHA_SIZE)[:n_seg]
+    counts = per_seg.sum(axis=0)
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-    )
-    flat = (idx // seg) * ALPHA_SIZE + bwt_chars
-    per_seg = (
-        jnp.zeros((n_seg * ALPHA_SIZE,), jnp.int32)
-        .at[flat]
-        .add(1)
-        .reshape(n_seg, ALPHA_SIZE)
     )
     occ_ckpt = jnp.concatenate(
         [
