@@ -164,6 +164,11 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
     pats: int32[B, P] right-aligned (-1 padded).  Returns (first, last).
     """
     meta: FMMeta = index.meta
+    if index.arrays.occ_ckpt.dtype != jnp.int32:
+        raise ValueError(
+            "sharded queries need the absolute (int32) checkpoint tier; "
+            "build with compact=False for mesh sharding"
+        )
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
     fn = functools.partial(
@@ -180,6 +185,11 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
 def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
                    axis: str = DEFAULT_AXIS):
     meta: FMMeta = index.meta
+    if index.arrays.occ_ckpt.dtype != jnp.int32:
+        raise ValueError(
+            "sharded queries need the absolute (int32) checkpoint tier; "
+            "build with compact=False for mesh sharding"
+        )
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
     fn = functools.partial(

@@ -159,9 +159,12 @@ def execute(index: FMIndex, node: QNode, need_offsets: bool = True,
     if isinstance(node, QTerm):
         cap = BOOLEAN_TERM_CAP if _under_boolean else max_matches
         return term_results(index, node, need_offsets, cap)
-    a = execute(index, node.left, need_offsets, max_matches,
+    # THEN/WITHIN compare offsets, so operands must carry them even when
+    # the caller only wants documents.
+    child_offsets = need_offsets or isinstance(node, (QThen, QWithin))
+    a = execute(index, node.left, child_offsets, max_matches,
                 _under_boolean=True)
-    b = execute(index, node.right, need_offsets, max_matches,
+    b = execute(index, node.right, child_offsets, max_matches,
                 _under_boolean=True)
     if isinstance(node, QAnd):
         return intersect(a, b)

@@ -137,6 +137,9 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
                                + min(cfg.subst, cfg.insert) < cfg.cost_bound)
             sub_ok = jnp.zeros((A,), bool).at[CHARACTER_OFFSET:].set(True)
             reach = reach | (any_live[:, None] & sub_ok[None, :])
+        # No substitutions on the first backward step (the pattern's last
+        # character) — QUERY_FORMAT.txt:143 / host engine allow_subst.
+        allow_subst = depth > 0
 
         # 2. batched backward step for all F*A forks
         cflat = jnp.broadcast_to(chars[None, :], (F, A)).reshape(-1)
@@ -156,7 +159,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         )                                                  # [F, A, T]
         if approx_any:
             sub = jnp.where(
-                ~jnp.transpose(mask, (1, 0))[None, :, :],
+                allow_subst & ~jnp.transpose(mask, (1, 0))[None, :, :],
                 base_c[:, None, :] + cfg.subst, NO_COST,
             )
             contrib = jnp.minimum(exact, sub)
@@ -230,8 +233,13 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     state = (first, last, costs, live, res_first, res_last, res_cost,
              res_len, res_count, overflow, jnp.int32(0))
     state = jax.lax.while_loop(cond, layer, state)
-    (_, _, _, _, res_first, res_last, res_cost, res_len, res_count,
-     overflow, _) = state
+    (_, _, _, live, res_first, res_last, res_cost, res_len, res_count,
+     overflow, depth) = state
+    # Stopping at max_len with a live frontier would silently drop longer
+    # matches — report it as overflow so callers retry/fall back.
+    overflow = jnp.maximum(
+        overflow, (jnp.any(live) & (depth >= cfg.max_len)).astype(jnp.int32)
+    )
     return res_first, res_last, res_cost, res_len, res_count, overflow
 
 
@@ -243,14 +251,50 @@ def run_regexp_device(
     results_cap: int = 4096,
     max_len: int = 64,
     with_strings: bool = False,
+    max_frontier_cap: int = 16384,
+    max_results_cap: int = 262144,
+    max_max_len: int = 1024,
 ) -> List[RegexpMatch]:
     """Device-frontier regex search.
 
     with_strings=True reconstructs each matched string by a batched
     psi-walk from the match's first row (its length equals the layer depth
-    it was found at); otherwise matches carry match=b"".  Raises
-    RuntimeError if capacities overflow (caller should fall back to the
-    host engine or raise caps)."""
+    it was found at); otherwise matches carry match=b"".  On capacity
+    overflow (frontier, results, or match length) the capacities double and
+    the search re-runs on device (the growth analog of the reference's
+    unbounded queue_map, server.c:1656); RuntimeError is raised only past
+    the max_* caps (callers then fall back to the host engine)."""
+    while True:
+        try:
+            return _run_regexp_device_once(
+                index, nfa, settings, frontier_cap, results_cap, max_len,
+                with_strings,
+            )
+        except _DeviceCapacityOverflow:
+            if (frontier_cap >= max_frontier_cap
+                    and results_cap >= max_results_cap
+                    and max_len >= max_max_len):
+                raise RuntimeError(
+                    "device regex frontier overflow at maximum capacities"
+                )
+            frontier_cap = min(frontier_cap * 4, max_frontier_cap)
+            results_cap = min(results_cap * 4, max_results_cap)
+            max_len = min(max_len * 4, max_max_len)
+
+
+class _DeviceCapacityOverflow(RuntimeError):
+    pass
+
+
+def _run_regexp_device_once(
+    index: FMIndex,
+    nfa: NFA,
+    settings: ApproxSettings,
+    frontier_cap: int,
+    results_cap: int,
+    max_len: int,
+    with_strings: bool,
+) -> List[RegexpMatch]:
     src, dst, mask, accept, S_pad, T_pad = _nfa_device_arrays(nfa)
     c0 = np.full(S_pad, NO_COST, np.int32)
     c0[: nfa.num_states] = _start_costs(nfa, settings).astype(np.int32)
@@ -276,7 +320,7 @@ def run_regexp_device(
         index.arrays, src, dst, mask, accept, costs0, cfg
     )
     if int(of) > 0:
-        raise RuntimeError(
+        raise _DeviceCapacityOverflow(
             "device regex frontier overflow; raise frontier_cap/results_cap"
         )
     cnt = int(cnt)

@@ -104,20 +104,38 @@ def then_within(
     offsets."""
     if a.type != ResultType.DOC_OFFSETS or b.type != ResultType.DOC_OFFSETS:
         raise ValueError("THEN/WITHIN need offset results")
-    out_docs, out_offs = [], []
-    bd, bo = b.docs, b.offsets
-    for doc, off in zip(a.docs, a.offsets):
-        sel = bd == doc
-        if not sel.any():
-            continue
-        delta = bo[sel] - off
-        if ordered:
-            ok = (delta >= 0) & (delta <= distance)
-        else:
-            ok = np.abs(delta) <= distance
-        if ok.any():
-            out_docs.append(doc)
-            out_offs.append(off)
-    return Results.from_doc_offsets(
-        np.array(out_docs, np.int64), np.array(out_offs, np.int64)
-    )
+    if len(a.docs) == 0 or len(b.docs) == 0:
+        return Results.from_doc_offsets(
+            np.zeros(0, np.int64), np.zeros(0, np.int64)
+        )
+    # Vectorized window join: b is sorted by (doc, offset), so an a-match
+    # (doc, off) has a partner iff the composite-key interval
+    # [key(doc, off+lo), key(doc, off+hi)] is non-empty in b.
+    lo_delta = 0 if ordered else -distance
+    hi_delta = distance
+    big = int(max(a.offsets.max() + hi_delta, b.offsets.max())) + 2
+    max_doc = int(max(a.docs.max(), b.docs.max()))
+    if (max_doc + 1) * big < 2**62:
+        kb = b.docs * big + b.offsets  # already (doc, offset)-sorted
+        lo_off = np.maximum(a.offsets + lo_delta, 0)
+        klo = a.docs * big + lo_off
+        khi = a.docs * big + (a.offsets + hi_delta)
+        keep = (
+            np.searchsorted(kb, khi, side="right")
+            > np.searchsorted(kb, klo, side="left")
+        )
+    else:  # composite key would overflow int64: per-shared-doc join
+        keep = np.zeros(len(a.docs), bool)
+        shared = np.intersect1d(a.doc_set(), b.doc_set())
+        a_lo = np.searchsorted(a.docs, shared, side="left")
+        a_hi = np.searchsorted(a.docs, shared, side="right")
+        b_lo = np.searchsorted(b.docs, shared, side="left")
+        b_hi = np.searchsorted(b.docs, shared, side="right")
+        for al, ah, bl, bh in zip(a_lo, a_hi, b_lo, b_hi):
+            offs = a.offsets[al:ah]
+            bo = b.offsets[bl:bh]
+            keep[al:ah] = (
+                np.searchsorted(bo, offs + hi_delta, side="right")
+                > np.searchsorted(bo, np.maximum(offs + lo_delta, 0), "left")
+            )
+    return Results.from_doc_offsets(a.docs[keep], a.offsets[keep])

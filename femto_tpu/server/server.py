@@ -62,6 +62,8 @@ class _BatchingCounter:
     def count(self, pattern: bytes) -> Tuple[int, int]:
         h = self.submit(pattern_to_alpha(pattern))
         h["event"].wait()
+        if h.get("error") is not None:
+            raise h["error"]
         return h["result"]
 
     def _run(self):
@@ -82,17 +84,23 @@ class _BatchingCounter:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            pats = [b[0] for b in batch]
-            packed, B = pack_patterns(pats)
-            first, last = _count_jit_cached(
-                self.index, packed
-            )
-            first, last = np.asarray(first), np.asarray(last)
-            for i, (_, holder) in enumerate(batch):
-                holder["result"] = (int(first[i]), int(last[i]))
-                holder["event"].set()
-            self.stats["batches"] += 1
-            self.stats["queries"] += len(batch)
+            try:
+                pats = [b[0] for b in batch]
+                packed, B = pack_patterns(pats)
+                first, last = _count_jit_cached(
+                    self.index, packed
+                )
+                first, last = np.asarray(first), np.asarray(last)
+                for i, (_, holder) in enumerate(batch):
+                    holder["result"] = (int(first[i]), int(last[i]))
+                    holder["event"].set()
+                self.stats["batches"] += 1
+                self.stats["queries"] += len(batch)
+            except Exception as e:  # noqa: BLE001 — keep the collector alive
+                for _, holder in batch:
+                    holder["error"] = e
+                    holder["event"].set()
+                self.stats["errors"] = self.stats.get("errors", 0) + 1
 
     def stop(self):
         self._stop = True
@@ -221,7 +229,12 @@ class FemtoServer:
         ]
 
     def _extensions_right(self, pattern: bytes) -> List[dict]:
-        """Ranges of pattern+c for every byte c (batched full searches)."""
+        """Ranges of pattern+c for every byte c, as ONE device batch of 256
+        searches.  This matches the reference exactly: its
+        string_rows_addright also runs ALPHA_SIZE full string queries of
+        pattern+c (setup_string_rows_addleftright_query,
+        /root/reference/src/main/server.c:4262-4302) — there is no
+        single-select shortcut for right extension in a backward FM-index."""
         pats = [pattern + bytes([c]) for c in range(256)]
         first, last = count_ranges(self.index, pats)
         return [
@@ -293,7 +306,12 @@ def serve(index_path: str, host: str = "127.0.0.1", port: int = 7733,
                 if len(parts) >= 2 and parts[0] == "femto":
                     name = parts[1]
                     cand = os.path.join(base_dir, name)
-                    if os.path.abspath(cand) != os.path.abspath(index_path) \
+                    # refuse names that escape base_dir ("..", absolute, ...)
+                    inside = os.path.abspath(cand).startswith(
+                        os.path.abspath(base_dir) + os.sep
+                    )
+                    if inside \
+                            and os.path.abspath(cand) != os.path.abspath(index_path) \
                             and os.path.exists(cand):
                         srv = pool.get(cand)
                 resp = srv.request(body)

@@ -194,3 +194,39 @@ def test_icase(corpus):
     assert cq(index, "QUICK", icase=True) == regex_count(docs, "quick")
     assert cq(index, "QUICK") == 0
     assert cq(index, "Shee?P", icase=True) == regex_count(docs, "shee?p")
+
+
+def test_then_within_docs_only(corpus):
+    """THEN/WITHIN must work when the caller only wants documents
+    (need_offsets=False): operands are forced to carry offsets (advisor
+    round-1 medium finding)."""
+    docs, index = corpus
+    got = [d for d, _, _ in docs_query(index, "black THEN 6 sheep",
+                                       with_offsets=False)]
+    assert got == [2]
+
+
+def test_then_within_vectorized_parity():
+    """The searchsorted window join must agree with a brute-force oracle on
+    randomized (doc, offset) sets."""
+    from femto_tpu.query.results import Results, then_within
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        na, nb = rng.integers(1, 120, size=2)
+        a = Results.from_doc_offsets(
+            rng.integers(0, 8, size=na), rng.integers(0, 400, size=na))
+        b = Results.from_doc_offsets(
+            rng.integers(0, 8, size=nb), rng.integers(0, 400, size=nb))
+        for ordered in (True, False):
+            dist = int(rng.integers(0, 60))
+            got = then_within(a, b, dist, ordered=ordered)
+            keep = []
+            for doc, off in zip(a.docs, a.offsets):
+                delta = b.offsets[b.docs == doc] - off
+                ok = ((delta >= 0) & (delta <= dist) if ordered
+                      else np.abs(delta) <= dist)
+                if ok.any():
+                    keep.append((doc, off))
+            want = sorted(keep)
+            assert sorted(zip(got.docs, got.offsets)) == want

@@ -65,3 +65,30 @@ def test_device_strings(corpus):
     host = run_regexp(index, nfa)
     assert sorted(m.match for m in dev) == sorted(m.match for m in host)
     assert b"banana" in {m.match for m in dev}
+
+
+def test_device_long_match_capacity_retry(corpus):
+    """Matches longer than the initial max_len=64 must not be silently
+    dropped: the device engine retries with larger capacities (advisor
+    round-1 high finding)."""
+    docs = [b"x" * 70 + b"L", b"filler doc"]
+    index = ft.build_index(ft.prepare_documents(docs), seg=64, mark_period=8)
+    node = parse_query("x{70}L")
+    nfa = compile_nfa(node.regexp)
+    host = run_regexp(index, nfa)
+    dev = run_regexp_device(index, nfa)
+    assert ranges(dev) == ranges(host)
+    assert len(dev) == 1
+
+
+def test_device_no_subst_on_last_char(corpus):
+    """Substitutions are never applied at the pattern's last character
+    (QUERY_FORMAT.txt; advisor round-1 medium finding): device and host
+    engines must return identical APPROX match sets."""
+    docs, index = corpus
+    node = parse_query("APPROX 1 hello")
+    nfa = compile_nfa(node.regexp)
+    settings = node.approx
+    host = run_regexp(index, nfa, settings)
+    dev = run_regexp_device(index, nfa, settings)
+    assert ranges(dev) == ranges(host)
