@@ -1,0 +1,101 @@
+"""Per-stage build profiling on the real TPU (PERF.md methodology).
+
+Times the suffix sort and each packaging stage (_bwt/_occ/_marks)
+separately, steady-state, with on-device corpus synthesis.  Run:
+    BENCH_MB=16 python examples/profile_build.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import femto_tpu as ft
+    from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
+    from femto_tpu.ops import build_ops as BO
+
+    mb = float(os.environ.get("BENCH_MB", "16"))
+    seg = int(os.environ.get("BENCH_SEG", "256"))
+    mark_period = int(os.environ.get("BENCH_MARK", "20"))
+
+    n = int(mb * (1 << 20))
+    doc_size = 1 << 16
+    ndocs = -(-n // doc_size)
+    doc_starts_np = np.minimum(
+        np.arange(ndocs + 1, dtype=np.int64) * doc_size, n
+    )
+
+    @jax.jit
+    def gen_text(key):
+        letters = jnp.asarray(
+            np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
+            .astype(np.int32) + CHARACTER_OFFSET
+        )
+        probs = 1.0 / np.arange(1, 31, dtype=np.float32)
+        logits = jnp.log(jnp.asarray(probs / probs.sum()))
+        ix = jax.random.categorical(key, logits, shape=(n,))
+        text = letters[ix]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        is_end = (pos % doc_size == doc_size - 1) | (pos == n - 1)
+        return jnp.where(is_end, SEOF, text)
+
+    text_dev = gen_text(jax.random.PRNGKey(1234))
+    text_dev.block_until_ready()
+    log(f"corpus {mb} MiB on device")
+
+    # --- SA ---
+    def sa_run():
+        t0 = time.perf_counter()
+        sa = ft.suffix_array(text_dev)
+        sa.block_until_ready()
+        return sa, time.perf_counter() - t0
+
+    sa, t_cold = sa_run()
+    sa, t_sa = sa_run()
+    log(f"SA: {t_sa:.3f}s steady = {mb/t_sa:.1f} MiB/s (cold {t_cold:.1f}s)")
+
+    # --- packaging stages ---
+    n_seg = n // seg + 1
+    n_pad = n_seg * seg
+    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
+    cap = BO.mark_cap(n, ndocs, mark_period, seg)
+
+    def timeit(name, fn, reps=3):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        log(f"{name}: {dt*1e3:.1f} ms steady")
+        return out, dt
+
+    (bwt, bwt_chars), t_b = timeit(
+        "bwt_stage", lambda: BO._bwt_stage(text_dev, sa, n=n, n_pad=n_pad))
+    (C, occ_ckpt, occ_l1), t_o = timeit(
+        "occ_stage",
+        lambda: BO._occ_stage(bwt_chars, n=n, n_seg=n_seg, seg=seg))
+    marks_out, t_m = timeit(
+        "marks_stage",
+        lambda: BO._marks_stage(
+            sa, doc_starts_dev, n=n, n_pad=n_pad, seg=seg,
+            mark_period=mark_period, cap=cap, ndocs=ndocs))
+
+    t_pkg = t_b + t_o + t_m
+    log(f"packaging total: {t_pkg:.3f}s -> build total {t_sa+t_pkg:.3f}s "
+        f"= {mb/(t_sa+t_pkg):.1f} MiB/s")
+
+
+if __name__ == "__main__":
+    main()

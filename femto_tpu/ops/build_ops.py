@@ -44,23 +44,36 @@ def _bwt_stage(text, sa, *, n, n_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_seg", "seg", "compact")
+    jax.jit, static_argnames=("n", "n_seg", "seg", "compact", "alpha")
 )
-def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False):
-    # Per-segment histogram as a chunked compare-reduce (scatter-add lowers
-    # ~12x slower on TPU for this shape; measured in PERF.md).
-    CH = 512
+def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
+    # Per-segment histogram on the MXU: split the symbol c = hi*32 + lo
+    # (hi < ceil(alpha/32), lo < 32) and contract the two narrow one-hot
+    # planes per segment — per_seg[s, hi, lo] = sum_r (hi_r==hi)(lo_r==lo)
+    # is one [seg,NHI]^T @ [seg,32] matmul per segment.  This replaces the
+    # alpha-wide VPU compare-reduce (n*alpha lanes) with n*(NHI+32) one-hot
+    # lanes + an MXU contraction; exact in f32 (0/1 inputs, counts <= seg).
+    # Chunked via lax.map so the one-hot planes never materialize at O(n).
+    CH = 2048
     nchunks = -(-n_seg // CH)
+    NHI = -(-alpha // 32)
     b2 = jnp.full((nchunks * CH * seg,), -1, jnp.int32)
     b2 = jax.lax.dynamic_update_slice(b2, bwt_chars, (0,))
     b3 = b2.reshape(nchunks, CH, seg)
 
     def chunk(bc):
-        return jnp.sum(
-            bc[:, :, None] == jnp.arange(ALPHA_SIZE)[None, None, :], axis=1
-        ).astype(jnp.int32)
+        hi = bc >> 5   # pad rows are -1: hi==-1 matches no plane lane
+        lo = bc & 31
+        A = (hi[:, :, None] == jnp.arange(NHI)[None, None, :]).astype(
+            jnp.bfloat16)
+        Bm = (lo[:, :, None] == jnp.arange(32)[None, None, :]).astype(
+            jnp.bfloat16)
+        ps = jnp.einsum(
+            "sri,srj->sij", A, Bm, preferred_element_type=jnp.float32
+        )
+        return ps.reshape(CH, NHI * 32)[:, :alpha].astype(jnp.int32)
 
-    per_seg = jax.lax.map(chunk, b3).reshape(-1, ALPHA_SIZE)[:n_seg]
+    per_seg = jax.lax.map(chunk, b3).reshape(-1, alpha)[:n_seg]
     counts = per_seg.sum(axis=0)
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
@@ -82,27 +95,43 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_pad", "seg", "mark_period", "cap")
+    jax.jit,
+    static_argnames=("n", "n_pad", "seg", "mark_period", "cap", "ndocs"),
 )
-def _marks_stage(sa, doc_starts, *, n, n_pad, seg, mark_period, cap):
+def _marks_stage(sa, doc_starts, *, n, n_pad, seg, mark_period, cap, ndocs):
+    """Mark sampling + per-doc SEOF rows in one pass.
+
+    should_mark (index_types.h:134-144) is evaluated over *positions* with
+    an O(n) cummax (doc-start propagation) instead of a per-row binary
+    search, packed into one aux word per position together with the SEOF
+    doc tag, and permuted into row order by a single gather through sa —
+    the only random-access pass.  The full-ISA scatter of the old
+    _isa_stage is gone (its answer rides the same gather)."""
     n_seg = n_pad // seg
     idx = jnp.arange(n, dtype=jnp.int32)
+    seof_pos = doc_starts[1:] - 1
+    # aux word per position: bit0 = should_mark, bits1.. = doc id + 1 at
+    # the doc's SEOF position (0 elsewhere).
+    tag = jnp.zeros((n,), jnp.int32).at[seof_pos].set(
+        jnp.arange(1, ndocs + 1, dtype=jnp.int32)
+    )
     if mark_period == 0:
-        marked_sa = jnp.zeros((n,), dtype=bool)
+        marked_pos = jnp.zeros((n,), bool)
     else:
-        # should_mark evaluated directly at position sa[r] (gathers only)
-        pos = sa
-        doc_of = (
-            jnp.searchsorted(doc_starts, pos, side="right").astype(jnp.int32)
-            - 1
-        )
-        doc_start = doc_starts[doc_of]
-        doc_end = doc_starts[doc_of + 1]
-        doc_off = pos - doc_start
-        marked_sa = (
-            (doc_off == 0) | (pos == doc_end - 1)
-            | (doc_off % mark_period == 0)
-        )
+        is_start = jnp.zeros((n,), bool).at[doc_starts[:-1]].set(True)
+        doc_start_of = jax.lax.cummax(jnp.where(is_start, idx, 0))
+        doc_off = idx - doc_start_of
+        marked_pos = is_start | (tag > 0) | (doc_off % mark_period == 0)
+    aux = marked_pos.astype(jnp.int32) | (tag << 1)
+    a_row = jnp.take(aux, sa, axis=0)               # the one random gather
+    marked_sa = (a_row & 1) != 0
+    row_tag = a_row >> 1
+    doc_seof_rows = (
+        jnp.zeros((ndocs + 1,), jnp.int32)
+        .at[jnp.where(row_tag > 0, row_tag - 1, ndocs)]
+        .set(idx, mode="drop")[:ndocs]
+    )
+
     marked_row = jnp.concatenate(
         [marked_sa, jnp.zeros((n_pad - n,), dtype=bool)]
     )
@@ -124,18 +153,10 @@ def _marks_stage(sa, doc_starts, *, n, n_pad, seg, mark_period, cap):
     mark_vals = (
         jnp.full((cap + 1,), -1, jnp.int32)
         .at[slot]
-        .set(sa.astype(jnp.int32), mode="drop")[:cap]
+        .set(sa.astype(jnp.int32), mode="drop", indices_are_sorted=True)[:cap]
     )
     n_marks = jnp.sum(mrow.astype(jnp.int32))
-    return mark_bits, mark_ckpt, mark_vals, n_marks
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def _isa_stage(sa, doc_starts, *, n):
-    idx = jnp.arange(n, dtype=jnp.int32)
-    isa = jnp.zeros((n,), jnp.int32).at[sa].set(idx)
-    seof_pos = doc_starts[1:] - 1
-    return isa[seof_pos]
+    return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
 
 
 def build_fm_arrays_device(
@@ -172,11 +193,10 @@ def build_fm_arrays_device(
         bwt_chars, n=n, n_seg=n_seg, seg=seg, compact=compact
     )
     cap = mark_cap(n, ndocs, mark_period, seg)
-    mark_bits, mark_ckpt, mark_vals, n_marks = _marks_stage(
+    mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_stage(
         sa, doc_starts, n=n, n_pad=n_pad, seg=seg,
-        mark_period=mark_period, cap=cap,
+        mark_period=mark_period, cap=cap, ndocs=ndocs,
     )
-    doc_seof_rows = _isa_stage(sa, doc_starts, n=n)
 
     arrays = FMArrays(
         bwt=bwt.reshape(n_seg, seg),

@@ -4,15 +4,21 @@ The reference builds suffix arrays with external-memory difference-cover
 (DCX) sorting over MPI bins (/root/reference/src/dcx_cc/dcx.hh:4038) or
 in-memory two-stage sorters (dcx_inmem.cc, two_stage.cc).  Those designs are
 disk/NIC-bound and branch-heavy; on TPU the right primitive is the global
-bitonic sort XLA emits for `lax.sort`, so we use prefix doubling
-(Manber-Myers): O(log n) rounds, each one multi-key sort + adjacent-compare
-+ cumsum + scatter — all dense, static-shape, MXU/VPU-friendly ops.
+sort XLA emits for `lax.sort`, so we use prefix doubling (Manber-Myers)
+with **segment filtering** (Larsson-Sadakane style): after the initial
+6-symbol pack sort, each round re-sorts ONLY the slots whose rank groups
+are still unresolved.  Unresolved counts collapse geometrically on real
+text, so total work is a couple of full sorts instead of O(log n) of them —
+the work-complexity match for the reference's sample-based designs
+(ssort_chpl/SuffixSortImpl.chpl:2784), reached by filtering instead of
+difference covers because a filtered global sort is the shape XLA/TPU runs
+at full throughput.
 
-The first round packs three 9-bit symbols into one int32 key, so round k
-already orders by 3-symbol prefixes; subsequent rounds double the ordered
-prefix length.  Out-of-range positions use rank -1 (shorter suffix sorts
-first), matching the convention needed for text whose symbols are all >= 1
-(ESCAPE=0 never occurs in prepared text, alphabet.py).
+Ranks use the "group base slot" convention (the first SA slot of the
+group), so refined subgroup ranks are computed with a cummax over the slot
+positions — no second pass.  Rounds are host-driven: the unresolved count
+m is pulled back per round (a scalar), and the working arrays are bucketed
+to powers of two so only a handful of shapes ever compile.
 
 The distributed variant (sample-sort over a device mesh) lives in
 femto_tpu/parallel/dist_build.py.
@@ -26,40 +32,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_MIN_BUCKET = 1 << 16
 
 
-def _doubling_round(rank: jax.Array, k: jax.Array, idx: jax.Array):
-    """One prefix-doubling round: returns (new_rank, num_unique, perm)."""
-    n = rank.shape[0]
-    # rank of the suffix k positions later; -1 past the end.
-    rank_k = jnp.where(idx < n - k, jnp.roll(rank, -k), -1)
-    s1, s2, perm = jax.lax.sort((rank, rank_k, idx), num_keys=2)
-    head = jnp.zeros((1,), dtype=jnp.int32)
-    diff = ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)
-    new_rank_sorted = jnp.concatenate([head, jnp.cumsum(diff)])
-    num_unique = new_rank_sorted[-1] + 1
-    new_rank = jnp.zeros_like(rank).at[perm].set(new_rank_sorted)
-    return new_rank, num_unique, perm
+def _bucket_pow2(m: int) -> int:
+    b = _MIN_BUCKET
+    while b < m:
+        b *= 2
+    return b
 
 
-@functools.partial(jax.jit, static_argnames=())
-def suffix_array(text: jax.Array) -> jax.Array:
-    """Suffix array of `text` (int array of alphabet codes), as int32[n].
-
-    Equivalent in contract to the reference's suffix_sort entry points
-    (dcx.hh:6040, ssort_chpl/SuffixSort.chpl:66): SA[r] is the start offset
-    of the rank-r suffix.  Requires every symbol >= 1 and n < 2**31.
-    """
-    n = text.shape[0]
+@functools.partial(jax.jit, static_argnames=("n",))
+def _initial_sort(text, *, n):
+    """6-symbol pack sort.  Returns (sa, rank, unresolved, m) where rank is
+    by text position and holds the group's base slot, and unresolved[slot]
+    marks slots in groups of size > 1."""
     t = text.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    if n == 1:
-        return idx
 
-    # Initial rank: pack 3 symbols (9 bits each, values < 512) -> 27-bit key.
-    # Initial densify sorts by TWO packed 3-symbol keys, so round one
-    # already orders 6-symbol prefixes and k starts at 6 (one fewer
-    # doubling round than a single 3-symbol pack).
+    # Pack 3 symbols (9 bits each, values < 512) per 27-bit key; sorting by
+    # two packed keys orders 6-symbol prefixes, so doubling starts at k=6.
     def pack3(shift):
         a = jnp.where(idx < n - shift, jnp.roll(t, -shift), 0)
         b = jnp.where(idx < n - shift - 1, jnp.roll(t, -shift - 1), 0)
@@ -67,26 +59,96 @@ def suffix_array(text: jax.Array) -> jax.Array:
         return (a << 18) | (b << 9) | c
 
     s1, s2, perm = jax.lax.sort((pack3(0), pack3(3), idx), num_keys=2)
-    head = jnp.zeros((1,), dtype=jnp.int32)
-    diff = ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)
-    new_rank_sorted = jnp.concatenate([head, jnp.cumsum(diff)])
-    nuniq = new_rank_sorted[-1] + 1
-    rank = jnp.zeros_like(t).at[perm].set(new_rank_sorted)
-
-    def cond(state):
-        rank, k, nuniq, perm = state
-        return (nuniq < n) & (k < n)
-
-    def body(state):
-        rank, k, nuniq, perm = state
-        new_rank, new_nuniq, perm = _doubling_round(rank, k, idx)
-        return new_rank, k * 2, new_nuniq, perm
-
-    rank, _, _, perm = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(6), nuniq, perm)
+    st = jnp.ones((n,), bool).at[1:].set(
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
     )
-    # perm from the final round is the suffix array (ranks all unique).
-    return perm
+    base = jax.lax.cummax(jnp.where(st, idx, 0))
+    rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
+    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    unresolved = ~(st & nxt_st)
+    return perm, rank, unresolved, jnp.sum(unresolved.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M"))
+def _compact_slots(unresolved, *, n, M):
+    """Slot indices of unresolved slots, ascending, padded with n."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    tgt = jnp.where(unresolved, jnp.minimum(pos, M - 1), M)
+    return (
+        jnp.full((M + 1,), n, jnp.int32).at[tgt].set(idx, mode="drop")[:M]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _filtered_round(sa, rank, slots, k, *, M):
+    """One filtered doubling round over the active slots.
+
+    slots: int32[M] ascending unresolved SA slots (n-padded).  Sorts the
+    active suffixes by (rank, rank at +k), writes them back into their
+    (fixed) group slot span, refines ranks, and returns the still-
+    unresolved slots compacted to the front.
+    """
+    n = sa.shape[0]
+    valid = slots < n
+    pos = sa[jnp.where(valid, slots, 0)]
+    r1 = jnp.where(valid, rank[pos], jnp.int32(0x7FFFFFFF))
+    pk = pos + k
+    r2 = jnp.where(pk < n, rank[jnp.minimum(pk, n - 1)], -1)
+    r2 = jnp.where(valid, r2, jnp.int32(0x7FFFFFFF))
+
+    s1, s2, sp = jax.lax.sort((r1, r2, pos), num_keys=2)
+    # element t now belongs at slot slots[t] (groups are slot-contiguous
+    # and slots are ascending, so sorted order == slot order)
+    st = jnp.ones((M,), bool).at[1:].set(
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    )
+    new_rank = jax.lax.cummax(jnp.where(st, slots, 0))
+
+    sa = sa.at[jnp.where(valid, slots, n)].set(sp, mode="drop")
+    rank = rank.at[jnp.where(valid, sp, n)].set(new_rank, mode="drop")
+
+    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    keep = valid & ~(st & nxt_st)  # still in a subgroup of size > 1
+    ppos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, jnp.minimum(ppos, M - 1), M)
+    slots_next = (
+        jnp.full((M + 1,), n, jnp.int32).at[tgt].set(slots, mode="drop")[:M]
+    )
+    return sa, rank, slots_next, jnp.sum(keep.astype(jnp.int32))
+
+
+def suffix_array(text: jax.Array) -> jax.Array:
+    """Suffix array of `text` (int array of alphabet codes), as int32[n].
+
+    Equivalent in contract to the reference's suffix_sort entry points
+    (dcx.hh:6040, ssort_chpl/SuffixSort.chpl:66): SA[r] is the start offset
+    of the rank-r suffix.  Requires every symbol in [1, 512) and n < 2**31.
+    """
+    text = jnp.asarray(text)
+    n = int(text.shape[0])
+    if n == 1:
+        return jnp.zeros((1,), jnp.int32)
+
+    sa, rank, unresolved, m_dev = _initial_sort(text, n=n)
+    m = int(m_dev)
+    if m == 0:
+        return sa
+    M = _bucket_pow2(m)
+    slots = _compact_slots(unresolved, n=n, M=M)
+    k = 6
+    while m > 0 and k < 2 * n:
+        sa, rank, slots_next, m_dev = _filtered_round(
+            sa, rank, slots, jnp.int32(k), M=M
+        )
+        m = int(m_dev)
+        k *= 2
+        if m == 0:
+            break
+        M_next = _bucket_pow2(m)
+        slots = slots_next[:M_next] if M_next < M else slots_next
+        M = M_next
+    return sa
 
 
 def suffix_array_np(text: np.ndarray) -> np.ndarray:
