@@ -43,7 +43,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     seg = int(os.environ.get("BENCH_SEG", "256"))
     mark_period = int(os.environ.get("BENCH_MARK", "20"))
-    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
+    tier = os.environ.get("BENCH_TIER", "full")
+    if os.environ.get("BENCH_COMPACT", "0") == "1":
+        tier = "compact"
 
     dev = jax.devices()[0]
     log(f"device: {dev}, corpus {mb} MiB, batch {B}, patlen {P}")
@@ -92,10 +94,10 @@ def main():
     doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
 
     def build_barrier():
-        arrays, n_marks = build_fm_arrays_device(
+        arrays, n_marks, _ = build_fm_arrays_device(
             text_dev, sa, doc_starts_dev,
             n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
-            compact=compact,
+            tier=tier,
         )
         jax.block_until_ready(arrays)
         return arrays, int(n_marks)
@@ -153,7 +155,8 @@ def main():
         f"({dt/iters*1e3:.1f} ms per {B}x{P} batch)")
 
     # --- locate ---
-    rows = jnp.asarray(rng.integers(0, n, size=4096).astype(np.int32))
+    LB = int(os.environ.get("BENCH_LOCATE_BATCH", "65536"))
+    rows = jnp.asarray(rng.integers(0, n, size=LB).astype(np.int32))
 
     @jax.jit
     def loc_step(arrays, rows, acc):
@@ -169,7 +172,8 @@ def main():
     for _i in range(5):
         acc, offs = loc_step(arrays, rows, acc)
     _ = int(acc)
-    log(f"locate: {5*4096/(time.perf_counter()-t0)/1e3:.1f}K rows/s")
+    log(f"locate: {5*LB/(time.perf_counter()-t0)/1e6:.2f}M rows/s "
+        f"(B={LB})")
 
     target = 1e7  # BASELINE.md: >= 10M steps/s/chip
     print(json.dumps({

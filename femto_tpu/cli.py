@@ -26,6 +26,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def _load_index(path: str):
     from .fmindex import FMIndex
@@ -45,7 +47,8 @@ def cmd_index(args) -> int:
     print(f"read {prepared.num_docs} docs, {prepared.n} symbols",
           file=sys.stderr)
     index = build_index(prepared, seg=args.seg, mark_period=args.mark_period,
-                        compact=args.compact, doc_chunks=args.doc_chunks)
+                        compact=args.compact, doc_chunks=args.doc_chunks,
+                        tier=args.tier)
     if args.out.endswith(".ftpu"):
         index.save_flat(args.out)
     else:
@@ -88,7 +91,11 @@ def cmd_search(args) -> int:
             from .query.engine import term_ranges, apply_icase
             from .query.parser import parse_query
             from .query.ast import QTerm
-            from .search import extract_context, locate_range, offsets_to_docs
+            from .search import (
+                extract_context_batch,
+                locate_rows_array,
+                offsets_to_docs,
+            )
 
             node = parse_query(query)
             if args.icase:
@@ -96,20 +103,24 @@ def cmd_search(args) -> int:
             if not isinstance(node, QTerm):
                 print("--grep needs a single term", file=sys.stderr)
                 return 1
-            shown = 0
+            # gather rows across all ranges, then ONE batched locate and
+            # ONE batched context extraction (no per-row device calls)
+            rows = []
             for f, l, cost in term_ranges(index, node):
-                for row in range(f, min(l, f + args.max_results - shown)):
-                    offs = locate_range(index, row, row + 1)
-                    doc, doc_off = offsets_to_docs(index, offs)
-                    ctx = extract_context(index, row, before=args.grep,
-                                          pattern_len=0,
-                                          after=args.grep + 16)
-                    info = index.infos[int(doc[0])].decode("utf-8", "replace")
-                    print(f"{info}:{int(doc_off[0])}: "
-                          f"{ctx.decode('utf-8', 'replace')}")
-                    shown += 1
-                if shown >= args.max_results:
+                take = min(l - f, args.max_results - len(rows))
+                rows.extend(range(f, f + take))
+                if len(rows) >= args.max_results:
                     break
+            rows_np = np.asarray(rows, dtype=np.int64)
+            offs = locate_rows_array(index, rows_np)
+            doc, doc_off = offsets_to_docs(index, offs)
+            ctxs = extract_context_batch(index, rows_np, before=args.grep,
+                                         pattern_len=0,
+                                         after=args.grep + 16)
+            for i in range(len(rows)):
+                info = index.infos[int(doc[i])].decode("utf-8", "replace")
+                print(f"{info}:{int(doc_off[i])}: "
+                      f"{ctxs[i].decode('utf-8', 'replace')}")
         elif args.matches:
             for m in find_strings(index, query, max_results=args.max_results,
                                   icase=args.icase):
@@ -390,6 +401,10 @@ def main(argv=None) -> int:
     s.add_argument("--max-bytes", type=int, default=None)
     s.add_argument("--compact", action="store_true",
                    help="uint16 relative checkpoints (smaller index)")
+    s.add_argument("--tier", choices=["full", "compact", "packed"],
+                   default=None,
+                   help="storage tier (packed = dense alphabet + bit-packed"
+                        " BWT, smallest index)")
     s.add_argument("--doc-chunks", action="store_true",
                    help="store per-segment doc lists (fast doc queries)")
     s.set_defaults(fn=cmd_index)

@@ -50,41 +50,59 @@ L1_GROUP = 16  # segments per L1 checkpoint group (compact tier)
 class FMArrays(NamedTuple):
     """Device-array portion of the index (a pytree leaf bundle).
 
-    Two checkpoint tiers are supported (dispatched statically on
-    occ_ckpt.dtype):
-      * absolute:  occ_ckpt int32 absolute counts; occ_l1 is a [1, ALPHA]
-        dummy (default — fastest queries);
-      * compact:   occ_ckpt uint16 RELATIVE to the enclosing group's
-        occ_l1 int32 row (L1_GROUP segments per group) — 28% smaller
-        index for one extra (pipelined) gather stream per rank.
+    Three storage tiers are supported (dispatched statically on dtypes and
+    shapes; see ops/rank.py):
+      * full:    bwt uint16 dense symbols; occ_ckpt int32 absolute counts;
+        occ_l1 a [1, ALPHA] dummy (default — fastest queries);
+      * compact: occ_ckpt uint16 RELATIVE to the enclosing group's occ_l1
+        int32 row (L1_GROUP segments per group) — 28% smaller index for one
+        extra (pipelined) gather stream per rank;
+      * packed:  per-index DENSE alphabet (alpha_map/alpha_rev; K = #used
+        symbols) with the BWT bit-packed into uint32 words (32//bits codes
+        per word, bits = code width for K) on top of the compact
+        checkpoints — the behavioral replacement for the reference's
+        Huffman wavelet tree + RLE bseq compression (wtree.c:359-770,
+        block_format.txt:161-188): ~2 B/char on English text, ~0.8 on DNA.
     """
 
-    bwt: jax.Array        # uint16[n_seg, SEG]; rows >= n hold INVALID_ALPHA
-    occ_ckpt: jax.Array   # int32 absolute | uint16 relative [n_seg, ALPHA]
-    occ_l1: jax.Array     # int32[n_seg/L1_GROUP, ALPHA] | dummy [1, ALPHA]
-    C: jax.Array          # int32[ALPHA_SIZE+1]; C[c] = #symbols < c
+    bwt: jax.Array        # uint16[n_seg, SEG] symbols | uint32[n_seg, W]
+    occ_ckpt: jax.Array   # int32 absolute | uint16 relative [n_seg, K]
+    occ_l1: jax.Array     # int32[n_seg/L1_GROUP, K] | dummy [1, K]
+    C: jax.Array          # int32[K+1]; C[c] = #codes < c (K=ALPHA_SIZE or
+    #                       the dense alphabet size)
     mark_bits: jax.Array  # uint32[n_seg, SEG//32]; marked-row bitmap
     mark_ckpt: jax.Array  # int32[n_seg]; marked rows before segment
     mark_vals: jax.Array  # int32[n_marks_pad]; text offset per marked row
     doc_starts: jax.Array  # int32[ndocs+1]
     doc_seof_rows: jax.Array  # int32[ndocs]; row whose suffix starts at the
     #                           doc's SEOF (used by extract: walk LF backward)
+    alpha_map: jax.Array  # int32[ALPHA_SIZE]: symbol -> dense code | -1
+    alpha_rev: jax.Array  # int32[K]: dense code -> symbol (identity when
+    #                       the index is not remapped)
 
 
 @dataclasses.dataclass(frozen=True)
 class FMMeta:
     """Static (hashable) metadata; passed as jit-static argument."""
 
-    n: int            # text length (rows in the index)
+    n: int            # real text length (symbols)
     seg: int          # rows per segment
     mark_period: int
     num_docs: int
     n_marks: int
     n_seg: int = 0    # segments (>= n//seg + 1; padded for mesh sharding)
+    alpha_used: int = 0  # dense alphabet size K (0 = identity alphabet)
+    # Sharded device builds keep the text's mesh padding as extra leading
+    # rows (pad suffixes are all-0 strings, which sort first and can never
+    # match a pattern): the searchable row space is [row0, n_rows).
+    n_rows: int = 0   # total rows (n, or n_pad for sharded builds)
+    row0: int = 0     # first real row (= n_rows - n)
 
     def __post_init__(self):
         if self.n_seg == 0:
             object.__setattr__(self, "n_seg", self.n // self.seg + 1)
+        if self.n_rows == 0:
+            object.__setattr__(self, "n_rows", self.n)
 
 
 @dataclasses.dataclass
@@ -145,6 +163,9 @@ class FMIndex:
             vals = {k: z[k] for k in FMArrays._fields if k in z.files}
             if "occ_l1" not in vals:  # pre-compact-tier index files
                 vals["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
+            if "alpha_map" not in vals:  # pre-packed-tier index files
+                vals["alpha_map"] = np.arange(ALPHA_SIZE, dtype=np.int32)
+                vals["alpha_rev"] = np.arange(ALPHA_SIZE, dtype=np.int32)
             cdo = z["chunk_doc_offsets_np"] if "chunk_doc_offsets_np" in z.files else None
             cdv = z["chunk_docs_np"] if "chunk_docs_np" in z.files else None
             arrays = FMArrays(**{k: jnp.asarray(v) for k, v in vals.items()})
@@ -228,6 +249,9 @@ class FMIndex:
             header_lens_np = np.asarray(arrs.pop("header_lens_np"))
         if "occ_l1" not in arrs:  # pre-compact-tier index files
             arrs["occ_l1"] = np.zeros((1, ALPHA_SIZE), np.int32)
+        if "alpha_map" not in arrs:  # pre-packed-tier index files
+            arrs["alpha_map"] = np.arange(ALPHA_SIZE, dtype=np.int32)
+            arrs["alpha_rev"] = np.arange(ALPHA_SIZE, dtype=np.int32)
         cdo = (np.asarray(arrs.pop("chunk_doc_offsets_np"))
                if "chunk_doc_offsets_np" in arrs else None)
         cdv = (np.asarray(arrs.pop("chunk_docs_np"))
@@ -321,6 +345,8 @@ def build_fm_arrays(
         mark_vals=jnp.asarray(mark_vals),
         doc_starts=jnp.asarray(doc_starts.astype(np.int32)),
         doc_seof_rows=jnp.asarray(doc_seof_rows),
+        alpha_map=jnp.arange(ALPHA_SIZE, dtype=jnp.int32),
+        alpha_rev=jnp.arange(ALPHA_SIZE, dtype=jnp.int32),
     )
     meta = FMMeta(
         n=n,
@@ -362,8 +388,12 @@ def build_index(
     checkpoint_dir: Optional[str] = None,
     compact: bool = False,
     doc_chunks: bool = False,
+    tier: Optional[str] = None,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
+
+    tier: "full" (default), "compact", or "packed" (see FMArrays docstring;
+    compact=True is the back-compat spelling of tier="compact").
 
     checkpoint_dir: if set, the suffix array is materialized there after the
     sort phase and reused on re-runs — the analog of the reference's
@@ -373,9 +403,13 @@ def build_index(
     from .metrics import metrics
     from .suffix import suffix_array
 
+    if tier is None:
+        tier = "compact" if compact else "full"
     n = prepared.n
     if n == 0:
         raise ValueError("cannot index an empty corpus")
+    if tier != "full" and not device_build:
+        raise ValueError("compact/packed tiers require device_build=True")
     if n >= 2**31:
         raise ValueError(
             "single-index corpora are limited to 2^31 symbols; use "
@@ -400,7 +434,7 @@ def build_index(
             suffix_array(text_dev) if sa is None
             else jnp.asarray(np.asarray(sa, dtype=np.int32))
         )
-        arrays, n_marks = build_fm_arrays_device(
+        arrays, n_marks, alpha_used = build_fm_arrays_device(
             text_dev,
             sa_dev,
             jnp.asarray(prepared.doc_starts.astype(np.int32)),
@@ -408,7 +442,7 @@ def build_index(
             seg=seg,
             mark_period=mark_period,
             ndocs=prepared.num_docs,
-            compact=compact,
+            tier=tier,
         )
         meta = FMMeta(
             n=n,
@@ -417,6 +451,7 @@ def build_index(
             num_docs=prepared.num_docs,
             n_marks=int(n_marks),
             n_seg=int(arrays.bwt.shape[0]),
+            alpha_used=alpha_used,
         )
     else:
         if sa is None:

@@ -43,23 +43,65 @@ def _bwt_stage(text, sa, *, n, n_pad):
     return bwt, bwt_chars
 
 
+def _aux_positions(doc_starts, *, n, mark_period, ndocs):
+    """Per-position aux word: bit0 = should_mark (index_types.h:134-144,
+    via an O(n) cummax doc-start propagation), bits1.. = doc id + 1 at the
+    doc's SEOF position."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seof_pos = doc_starts[1:] - 1
+    tag = jnp.zeros((n,), jnp.int32).at[seof_pos].set(
+        jnp.arange(1, ndocs + 1, dtype=jnp.int32)
+    )
+    if mark_period == 0:
+        marked_pos = jnp.zeros((n,), bool)
+    else:
+        is_start = jnp.zeros((n,), bool).at[doc_starts[:-1]].set(True)
+        doc_start_of = jax.lax.cummax(jnp.where(is_start, idx, 0))
+        doc_off = idx - doc_start_of
+        marked_pos = is_start | (tag > 0) | (doc_off % mark_period == 0)
+    return marked_pos.astype(jnp.int32) | (tag << 1)
+
+
+# aux co-packs with the 9-bit symbol in one int32 word iff the doc tag fits
+_FUSE_DOC_LIMIT = 1 << 21
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_seg", "seg", "compact", "alpha")
+    jax.jit, static_argnames=("n", "n_pad", "mark_period", "ndocs")
 )
-def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
-    # Per-segment histogram on the MXU: split the symbol c = hi*32 + lo
-    # (hi < ceil(alpha/32), lo < 32) and contract the two narrow one-hot
-    # planes per segment — per_seg[s, hi, lo] = sum_r (hi_r==hi)(lo_r==lo)
-    # is one [seg,NHI]^T @ [seg,32] matmul per segment.  This replaces the
-    # alpha-wide VPU compare-reduce (n*alpha lanes) with n*(NHI+32) one-hot
-    # lanes + an MXU contraction; exact in f32 (0/1 inputs, counts <= seg).
-    # Chunked via lax.map so the one-hot planes never materialize at O(n).
-    CH = 2048
-    nchunks = -(-n_seg // CH)
+def _bwt_aux_stage(text, sa, doc_starts, *, n, n_pad, mark_period, ndocs):
+    """Fused BWT + mark/SEOF pull: ONE n-row random gather serves both.
+
+    packed[p] = text[p] | aux[p+1 mod n] << 9, so gathering at
+    prev = sa-1 (mod n) yields BWT[r] = text[sa[r]-1] in the low bits and
+    aux[sa[r]] (the row's mark/SEOF info) in the high bits — halving the
+    random-access passes of the build (gather issue rate is the packaging
+    floor, PERF.md)."""
+    aux = _aux_positions(doc_starts, n=n, mark_period=mark_period,
+                         ndocs=ndocs)
+    packed = text.astype(jnp.int32) | (jnp.roll(aux, -1) << 9)
+    prev = jnp.where(sa == 0, n - 1, sa - 1)
+    pull = jnp.take(packed, prev, axis=0)
+    bwt_chars = pull & 511
+    a_row = pull >> 9
+    pad = jnp.full((n_pad - n,), INVALID_ALPHA, jnp.uint16)
+    bwt = jnp.concatenate([bwt_chars.astype(jnp.uint16), pad])
+    return bwt, bwt_chars, a_row
+
+
+def _hist_core(b3, alpha: int):
+    """MXU per-segment histogram of chunked symbol rows.
+
+    b3: int32[nchunks, CH, seg] (pad symbols -1 count nothing); returns
+    int32[nchunks*CH, alpha].  Split the symbol c = hi*32 + lo (hi <
+    ceil(alpha/32), lo < 32) and contract the two narrow one-hot planes per
+    segment — per_seg[s, hi, lo] = sum_r (hi_r==hi)(lo_r==lo) is one
+    [seg,NHI]^T @ [seg,32] matmul per segment.  This replaces the
+    alpha-wide VPU compare-reduce (n*alpha lanes) with n*(NHI+32) one-hot
+    lanes + an MXU contraction; exact in f32 (0/1 inputs, counts <= seg).
+    Chunked via lax.map so the one-hot planes never materialize at O(n)."""
     NHI = -(-alpha // 32)
-    b2 = jnp.full((nchunks * CH * seg,), -1, jnp.int32)
-    b2 = jax.lax.dynamic_update_slice(b2, bwt_chars, (0,))
-    b3 = b2.reshape(nchunks, CH, seg)
+    CH = b3.shape[1]
 
     def chunk(bc):
         hi = bc >> 5   # pad rows are -1: hi==-1 matches no plane lane
@@ -73,19 +115,35 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
         )
         return ps.reshape(CH, NHI * 32)[:, :alpha].astype(jnp.int32)
 
-    per_seg = jax.lax.map(chunk, b3).reshape(-1, alpha)[:n_seg]
+    return jax.lax.map(chunk, b3).reshape(-1, alpha)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "seg", "alpha"))
+def _hist_stage(bwt_chars, *, n_seg, seg, alpha=ALPHA_SIZE):
+    """Per-segment symbol histogram int32[n_seg, alpha] (see _hist_core)."""
+    CH = 2048
+    nchunks = -(-n_seg // CH)
+    b2 = jnp.full((nchunks * CH * seg,), -1, jnp.int32)
+    b2 = jax.lax.dynamic_update_slice(b2, bwt_chars, (0,))
+    return _hist_core(b2.reshape(nchunks, CH, seg), alpha)[:n_seg]
+
+
+@functools.partial(jax.jit, static_argnames=("compact",))
+def _ckpt_stage(per_seg, *, compact=False):
+    """C array + exclusive per-segment checkpoints from the histogram."""
+    n_seg, alpha = per_seg.shape
     counts = per_seg.sum(axis=0)
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )
     occ_ckpt = jnp.concatenate(
         [
-            jnp.zeros((1, ALPHA_SIZE), jnp.int32),
+            jnp.zeros((1, alpha), jnp.int32),
             jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32),
         ]
     )
     if not compact:
-        return C, occ_ckpt, jnp.zeros((1, ALPHA_SIZE), jnp.int32)
+        return C, occ_ckpt, jnp.zeros((1, alpha), jnp.int32)
     from ..fmindex import L1_GROUP
 
     n_grp = n_seg // L1_GROUP
@@ -95,35 +153,70 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("n", "n_pad", "seg", "mark_period", "cap", "ndocs"),
+    jax.jit, static_argnames=("n", "n_seg", "seg", "compact", "alpha")
 )
-def _marks_stage(sa, doc_starts, *, n, n_pad, seg, mark_period, cap, ndocs):
-    """Mark sampling + per-doc SEOF rows in one pass.
+def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
+    per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=alpha)
+    return _ckpt_stage(per_seg, compact=compact)
 
-    should_mark (index_types.h:134-144) is evaluated over *positions* with
-    an O(n) cummax (doc-start propagation) instead of a per-row binary
-    search, packed into one aux word per position together with the SEOF
-    doc tag, and permuted into row order by a single gather through sa —
-    the only random-access pass.  The full-ISA scatter of the old
-    _isa_stage is gone (its answer rides the same gather)."""
+
+def _pack_widths(K: int):
+    """(per_word, bits) for a dense alphabet of K codes: the pad value
+    (all-ones in `bits`) must be >= K so it never matches a query code."""
+    b0 = max(1, int(K).bit_length())
+    per_word = 32 // b0
+    bits = 32 // per_word      # canonical: query side derives bits this way
+    return per_word, bits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "n_seg", "seg", "per_word", "bits")
+)
+def _pack_stage(bwt_chars, alpha_map, *, n, n_seg, seg, per_word, bits):
+    """Map BWT symbols to dense codes and bit-pack them into uint32 words,
+    per segment (W = ceil(seg/per_word) words each)."""
+    pad_code = (1 << bits) - 1
+    codes = alpha_map[bwt_chars]                      # [n] dense codes
+    W = -(-seg // per_word)
+    row = W * per_word
+    out = jnp.full((n_seg * row,), pad_code, jnp.int32)
+    if row == seg:
+        out = jax.lax.dynamic_update_slice(out, codes, (0,))
+        c3 = out.reshape(n_seg, W, per_word)
+    else:
+        # segment rows are seg codes padded to W*per_word: scatter-free
+        # reshape via a strided write of each segment's slice
+        full = jnp.full((n_seg * seg,), pad_code, jnp.int32)
+        full = jax.lax.dynamic_update_slice(full, codes, (0,))
+        full = full.reshape(n_seg, seg)
+        pad = jnp.full((n_seg, row - seg), pad_code, jnp.int32)
+        c3 = jnp.concatenate([full, pad], axis=1).reshape(n_seg, W, per_word)
+    shifts = jnp.arange(per_word, dtype=jnp.uint32) * jnp.uint32(bits)
+    words = jnp.sum(
+        c3.astype(jnp.uint32) << shifts[None, None, :],
+        axis=2, dtype=jnp.uint32,
+    )
+    return words                                       # uint32[n_seg, W]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mark_period", "ndocs"))
+def _aux_gather_stage(sa, doc_starts, *, n, mark_period, ndocs):
+    """Unfused fallback (doc tags too wide to co-pack with the symbol):
+    a dedicated gather of the aux word through sa."""
+    aux = _aux_positions(doc_starts, n=n, mark_period=mark_period,
+                         ndocs=ndocs)
+    return jnp.take(aux, sa, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "n_pad", "seg", "cap", "ndocs")
+)
+def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
+    """Mark bitmap/checkpoints/values + per-doc SEOF rows from the row-order
+    aux words (no random access here — the gather already happened in
+    _bwt_aux_stage or _aux_gather_stage)."""
     n_seg = n_pad // seg
     idx = jnp.arange(n, dtype=jnp.int32)
-    seof_pos = doc_starts[1:] - 1
-    # aux word per position: bit0 = should_mark, bits1.. = doc id + 1 at
-    # the doc's SEOF position (0 elsewhere).
-    tag = jnp.zeros((n,), jnp.int32).at[seof_pos].set(
-        jnp.arange(1, ndocs + 1, dtype=jnp.int32)
-    )
-    if mark_period == 0:
-        marked_pos = jnp.zeros((n,), bool)
-    else:
-        is_start = jnp.zeros((n,), bool).at[doc_starts[:-1]].set(True)
-        doc_start_of = jax.lax.cummax(jnp.where(is_start, idx, 0))
-        doc_off = idx - doc_start_of
-        marked_pos = is_start | (tag > 0) | (doc_off % mark_period == 0)
-    aux = marked_pos.astype(jnp.int32) | (tag << 1)
-    a_row = jnp.take(aux, sa, axis=0)               # the one random gather
     marked_sa = (a_row & 1) != 0
     row_tag = a_row >> 1
     doc_seof_rows = (
@@ -169,14 +262,20 @@ def build_fm_arrays_device(
     mark_period: int,
     ndocs: int,
     seg_multiple: int = 1,
-    compact: bool = False,
-) -> Tuple[FMArrays, jax.Array]:
-    """Assemble FMArrays on device.  Returns (arrays, n_marks scalar).
+    tier: str = "full",
+) -> Tuple[FMArrays, jax.Array, int]:
+    """Assemble FMArrays on device.
 
-    compact=True stores uint16 segment checkpoints relative to sparse int32
-    L1 group rows (see FMArrays docstring) — 28% smaller index."""
+    Returns (arrays, n_marks scalar, alpha_used).  Tiers (FMArrays
+    docstring): "full" (int32 absolute checkpoints), "compact" (uint16
+    relative + int32 L1), "packed" (compact + dense per-index alphabet +
+    bit-packed BWT words)."""
+    from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
+    if tier not in ("full", "compact", "packed"):
+        raise ValueError(f"unknown tier {tier!r}")
+    compact = tier in ("compact", "packed")
     n_seg = n // seg + 1
     n_seg = -(-n_seg // seg_multiple) * seg_multiple
     if compact:
@@ -188,18 +287,49 @@ def build_fm_arrays_device(
         n_seg = -(-n_seg // L1_GROUP) * L1_GROUP
     n_pad = n_seg * seg
 
-    bwt, bwt_chars = _bwt_stage(text, sa, n=n, n_pad=n_pad)
-    C, occ_ckpt, occ_l1 = _occ_stage(
-        bwt_chars, n=n, n_seg=n_seg, seg=seg, compact=compact
-    )
+    if ndocs < _FUSE_DOC_LIMIT:
+        bwt, bwt_chars, a_row = _bwt_aux_stage(
+            text, sa, doc_starts, n=n, n_pad=n_pad,
+            mark_period=mark_period, ndocs=ndocs,
+        )
+    else:
+        bwt, bwt_chars = _bwt_stage(text, sa, n=n, n_pad=n_pad)
+        a_row = _aux_gather_stage(
+            sa, doc_starts, n=n, mark_period=mark_period, ndocs=ndocs
+        )
+    alpha_used = 0
+    if tier == "packed":
+        per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
+        counts = np.asarray(per_seg.sum(axis=0))       # [A] tiny transfer
+        used = np.nonzero(counts > 0)[0].astype(np.int32)
+        K = int(used.shape[0])
+        alpha_used = K
+        alpha_map_np = np.full(A, -1, np.int32)
+        alpha_map_np[used] = np.arange(K, dtype=np.int32)
+        alpha_map = jnp.asarray(alpha_map_np)
+        alpha_rev = jnp.asarray(used)
+        C, occ_ckpt, occ_l1 = _ckpt_stage(
+            per_seg[:, jnp.asarray(used)], compact=True
+        )
+        per_word, bits = _pack_widths(K)
+        bwt_store = _pack_stage(
+            bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg,
+            per_word=per_word, bits=bits,
+        )
+    else:
+        C, occ_ckpt, occ_l1 = _occ_stage(
+            bwt_chars, n=n, n_seg=n_seg, seg=seg, compact=compact
+        )
+        alpha_map = jnp.arange(A, dtype=jnp.int32)
+        alpha_rev = jnp.arange(A, dtype=jnp.int32)
+        bwt_store = bwt.reshape(n_seg, seg)
     cap = mark_cap(n, ndocs, mark_period, seg)
-    mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_stage(
-        sa, doc_starts, n=n, n_pad=n_pad, seg=seg,
-        mark_period=mark_period, cap=cap, ndocs=ndocs,
+    mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_finish(
+        sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
     )
 
     arrays = FMArrays(
-        bwt=bwt.reshape(n_seg, seg),
+        bwt=bwt_store,
         occ_ckpt=occ_ckpt,
         occ_l1=occ_l1,
         C=C,
@@ -208,5 +338,7 @@ def build_fm_arrays_device(
         mark_vals=mark_vals,
         doc_starts=doc_starts,
         doc_seof_rows=doc_seof_rows,
+        alpha_map=alpha_map,
+        alpha_rev=alpha_rev,
     )
-    return arrays, n_marks
+    return arrays, n_marks, alpha_used

@@ -21,31 +21,103 @@ import jax.numpy as jnp
 from ..alphabet import ALPHA_SIZE
 from ..fmindex import FMArrays, L1_GROUP
 
+# ---------------------------------------------------------------------------
+# Tier dispatch (all static, on dtypes/shapes):
+#   * bwt dtype uint16  -> dense symbol rows
+#   * bwt dtype uint32  -> bit-packed codes, 32//bits codes per word
+#   * C shape != ALPHA_SIZE+1 -> dense per-index alphabet (alpha_map /
+#     alpha_rev remapping at the op boundary) — the behavioral stand-in for
+#     the reference's per-bucket Huffman character mapping (index.c:309,
+#     inUse16 tables): unused symbols cost nothing anywhere in the index.
+# ---------------------------------------------------------------------------
+
+
+def seg_size(arrays: FMArrays) -> int:
+    """Rows per segment (from the always-unpacked mark bitmap)."""
+    return arrays.mark_bits.shape[1] * 32
+
+
+def is_packed(arrays: FMArrays) -> bool:
+    return arrays.bwt.dtype == jnp.uint32
+
+
+def is_remapped(arrays: FMArrays) -> bool:
+    return arrays.C.shape[0] != ALPHA_SIZE + 1 or is_packed(arrays)
+
+
+def alpha_count(arrays: FMArrays) -> int:
+    """Dense alphabet size K (261 for identity tiers)."""
+    return arrays.C.shape[0] - 1
+
+
+def map_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
+    """Alphabet code -> dense code; invalid/absent symbols -> -1."""
+    if not is_remapped(arrays):
+        return c
+    ok = (c >= 0) & (c < ALPHA_SIZE)
+    return jnp.where(ok, arrays.alpha_map[jnp.where(ok, c, 0)], -1)
+
+
+def unmap_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
+    """Dense code -> alphabet code."""
+    if not is_remapped(arrays):
+        return c
+    return arrays.alpha_rev[c]
+
+
+def _pack_geometry(arrays: FMArrays):
+    """(per_word, bits) of the packed BWT, derived from shapes."""
+    seg = seg_size(arrays)
+    W = arrays.bwt.shape[1]
+    per_word = -(-seg // W)
+    return per_word, 32 // per_word
+
+
+def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
+    """Dense int32[B, SEG] symbol rows for segment ids s (unpacking the
+    bit-packed tier in registers; pad slots hold an all-ones code >= K)."""
+    if not is_packed(arrays):
+        return jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
+    seg = seg_size(arrays)
+    words = jnp.take(arrays.bwt, s, axis=0)              # [B, W] uint32
+    per_word, bits = _pack_geometry(arrays)
+    mask = jnp.uint32((1 << bits) - 1)
+    shifts = jnp.arange(per_word, dtype=jnp.uint32) * jnp.uint32(bits)
+    vals = (words[:, :, None] >> shifts[None, None, :]) & mask
+    return vals.reshape(words.shape[0], -1)[:, :seg].astype(jnp.int32)
+
+
+def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
+    """Dense BWT code at each row (int32[B])."""
+    seg = seg_size(arrays)
+    s = r // seg
+    off = r - s * seg
+    if not is_packed(arrays):
+        return arrays.bwt[s, off].astype(jnp.int32)
+    per_word, bits = _pack_geometry(arrays)
+    word = arrays.bwt[s, off // per_word]
+    shift = ((off % per_word) * bits).astype(jnp.uint32)
+    return ((word >> shift) & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+
 
 def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
-    """Absolute occurrence count before segment s for char c, under either
-    checkpoint tier (dispatch is static: on occ_ckpt.dtype)."""
+    """Absolute occurrence count before segment s for DENSE code c, under
+    either checkpoint tier (dispatch is static: on occ_ckpt.dtype)."""
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
         return arrays.occ_l1[s // L1_GROUP, c] + rel
     return arrays.occ_ckpt[s, c]
 
 
-def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
-    """occ[i] = #occurrences of c[i] in BWT[0 : r[i]).  c,r: int32[B].
-
-    c entries outside [0, ALPHA_SIZE) are treated as "count nothing"
-    (returns 0) so padded lanes are harmless.
-    """
-    seg = arrays.bwt.shape[1]
-    c = c.astype(jnp.int32)
-    r = r.astype(jnp.int32)
-    valid = (c >= 0) & (c < ALPHA_SIZE)
-    cc = jnp.where(valid, c, 0)
+def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
+    """occ for dense codes; cd < 0 counts nothing."""
+    seg = seg_size(arrays)
+    valid = cd >= 0
+    cc = jnp.where(valid, cd, 0)
     s = r // seg
     off = r - s * seg
     base = ckpt_base(arrays, s, cc)                  # [B] gather(s)
-    segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
+    segdata = gather_segments(arrays, s)             # [B, SEG]
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
@@ -53,40 +125,48 @@ def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
     return jnp.where(valid, base + within, 0)
 
 
-def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
-    """Fused pair rank for backward search: (occ(c,r1), occ(c,r2)).
-
-    r1/r2 are usually nearby (the [first,last) range bounds), so we gather
-    each segment once when they coincide is left to XLA's CSE; the win here
-    is one batched call instead of two.
-    """
-    seg = arrays.bwt.shape[1]
+def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
+    """occ[i] = #occurrences of c[i] in BWT[0 : r[i]).  c,r: int32[B];
+    c in ALPHABET space.  Entries outside [0, ALPHA_SIZE) (or absent from
+    the index) count nothing, so padded lanes are harmless."""
     c = c.astype(jnp.int32)
-    valid = (c >= 0) & (c < ALPHA_SIZE)
-    cc = jnp.where(valid, c, 0)
+    cd = map_char(arrays, c)
+    if not is_remapped(arrays):
+        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
+    return _occ_dense(arrays, cd, r.astype(jnp.int32))
 
-    def one(r):
-        s = r // seg
-        off = r - s * seg
-        base = ckpt_base(arrays, s, cc)
-        segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
-        iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
-        within = jnp.sum(
-            (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
-        ).astype(jnp.int32)
-        return base + within
 
-    o1 = one(r1.astype(jnp.int32))
-    o2 = one(r2.astype(jnp.int32))
-    z = jnp.zeros_like(o1)
-    return jnp.where(valid, o1, z), jnp.where(valid, o2, z)
+def backward_step_pair(arrays: FMArrays, c: jax.Array,
+                       first: jax.Array, last: jax.Array):
+    """One FM backward step for alphabet chars c: returns the new
+    (first, last).  Absent/invalid chars yield an empty (0, 0) range.
+    This is THE central step all engines share (server.c:769-777)."""
+    c = c.astype(jnp.int32)
+    cd = map_char(arrays, c)
+    if not is_remapped(arrays):
+        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
+    valid = cd >= 0
+    base = arrays.C[jnp.where(valid, cd, 0)]
+    o1 = _occ_dense(arrays, cd, first.astype(jnp.int32))
+    o2 = _occ_dense(arrays, cd, last.astype(jnp.int32))
+    z = jnp.zeros_like(first)
+    return (jnp.where(valid, base + o1, z), jnp.where(valid, base + o2, z))
+
+
+def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
+    """Fused pair rank for backward search: (occ(c,r1), occ(c,r2)), c in
+    alphabet space."""
+    c = c.astype(jnp.int32)
+    cd = map_char(arrays, c)
+    if not is_remapped(arrays):
+        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
+    return (_occ_dense(arrays, cd, r1.astype(jnp.int32)),
+            _occ_dense(arrays, cd, r2.astype(jnp.int32)))
 
 
 def bwt_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
-    """BWT symbol at each row (int32[B])."""
-    seg = arrays.bwt.shape[1]
-    s = r // seg
-    return arrays.bwt[s, r - s * seg].astype(jnp.int32)
+    """BWT symbol at each row, in ALPHABET space (int32[B])."""
+    return unmap_char(arrays, bwt_code_at(arrays, r))
 
 
 def lf_step(arrays: FMArrays, r: jax.Array) -> jax.Array:
@@ -95,13 +175,13 @@ def lf_step(arrays: FMArrays, r: jax.Array) -> jax.Array:
     LF(r) = C[BWT[r]] + occ(BWT[r], r) — the reference's back_query
     (server.c:2228) as one batched op.
     """
-    c = bwt_at(arrays, r)
-    return arrays.C[c] + occ(arrays, c, r)
+    cd = bwt_code_at(arrays, r)
+    return arrays.C[cd] + _occ_dense(arrays, cd, r)
 
 
 def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """bool[B]: is row r mark-sampled?"""
-    seg = arrays.bwt.shape[1]
+    seg = seg_size(arrays)
     words_per_seg = seg // 32
     w = r // 32
     word = arrays.mark_bits[w // words_per_seg, w % words_per_seg]
@@ -110,7 +190,7 @@ def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
 
 def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """#marked rows before row r (index into mark_vals)."""
-    seg = arrays.bwt.shape[1]
+    seg = seg_size(arrays)
     words_per_seg = seg // 32
     s = r // seg
     base = arrays.mark_ckpt[s]
@@ -135,18 +215,17 @@ def lf_mark_step(arrays: FMArrays, r: jax.Array):
     read and the in-segment occurrence count, alongside the mark bitmap
     lookups.  Returns (lf_row, is_marked, mark_val) — 4 gather rows per
     step instead of 6 (see PERF.md: gather rows are the locate budget)."""
-    seg = arrays.bwt.shape[1]
+    seg = seg_size(arrays)
     words_per_seg = seg // 32
     s = r // seg
     off = r - s * seg
 
-    segdata = jnp.take(arrays.bwt, s, axis=0)               # [B, SEG]
-    c = segdata[jnp.arange(r.shape[0]), off].astype(jnp.int32)
+    segdata = gather_segments(arrays, s)                     # [B, SEG] int32
+    c = segdata[jnp.arange(r.shape[0]), off]
     base = ckpt_base(arrays, s, c)                           # [B]
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
-        (segdata == c[:, None].astype(jnp.uint16)) & (iota < off[:, None]),
-        axis=1,
+        (segdata == c[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
     lf = arrays.C[c] + base + within
 

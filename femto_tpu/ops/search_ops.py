@@ -18,17 +18,19 @@ from ..fmindex import FMArrays
 from . import rank as R
 
 
-def backward_search(arrays: FMArrays, n: int, pats: jax.Array):
+def backward_search(arrays: FMArrays, n: int, pats: jax.Array,
+                    row0: int = 0):
     """Batched FM count ranges.
 
     pats: int32[B, P], right-aligned (pattern ends at column P-1), padded on
     the left with -1.  Returns (first, last): int32[B] half-open row ranges;
     count = last - first.  Classic loop (server.c:769-777) with the
     [first,last) convention: first = C[c] + occ(c, first),
-    last = C[c] + occ(c, last).
+    last = C[c] + occ(c, last).  n is the total row count; row0 the first
+    real row (non-zero only for padded sharded builds).
     """
     B, P = pats.shape
-    first0 = jnp.zeros(B, dtype=jnp.int32)
+    first0 = jnp.full(B, row0, dtype=jnp.int32)
     last0 = jnp.full(B, n, dtype=jnp.int32)
 
     cols = jnp.flip(pats, axis=1).T  # [P, B]: last char first
@@ -36,11 +38,7 @@ def backward_search(arrays: FMArrays, n: int, pats: jax.Array):
     def step(carry, col):
         first, last = carry
         active = col >= 0
-        c = jnp.where(active, col, 0)
-        o1, o2 = R.occ2(arrays, c, first, last)
-        base = arrays.C[c]
-        nf = base + o1
-        nl = base + o2
+        nf, nl = R.backward_step_pair(arrays, col, first, last)
         first = jnp.where(active, nf, first)
         last = jnp.where(active, nl, last)
         return (first, last), None
@@ -49,23 +47,21 @@ def backward_search(arrays: FMArrays, n: int, pats: jax.Array):
     return first, last
 
 
-def backward_search_steps(arrays: FMArrays, n: int, pats: jax.Array):
+def backward_search_steps(arrays: FMArrays, n: int, pats: jax.Array,
+                          row0: int = 0):
     """Like backward_search but also returns, per query, the last non-empty
     range and how many pattern chars matched before the range emptied — the
     reference's prev_first/prev_last "too few matches" reporting
     (server.c:830-941)."""
     B, P = pats.shape
-    first0 = jnp.zeros(B, dtype=jnp.int32)
+    first0 = jnp.full(B, row0, dtype=jnp.int32)
     last0 = jnp.full(B, n, dtype=jnp.int32)
     cols = jnp.flip(pats, axis=1).T
 
     def step(carry, col):
         first, last, pf, pl, matched = carry
         active = (col >= 0) & (last > first)
-        c = jnp.where(active, col, 0)
-        o1, o2 = R.occ2(arrays, c, first, last)
-        base = arrays.C[c]
-        nf, nl = base + o1, base + o2
+        nf, nl = R.backward_step_pair(arrays, col, first, last)
         keep_prev = active & (nl > nf)
         pf = jnp.where(keep_prev, nf, pf)
         pl = jnp.where(keep_prev, nl, pl)
@@ -120,23 +116,25 @@ def extract_backward(arrays: FMArrays, rows: jax.Array, num_steps: int):
     """
 
     def step(rows, _):
-        c = R.bwt_at(arrays, rows)
-        nxt = arrays.C[c] + R.occ(arrays, c, rows)
-        return nxt, c
+        cd = R.bwt_code_at(arrays, rows)
+        nxt = arrays.C[cd] + R._occ_dense(arrays, cd, rows)
+        return nxt, cd
 
-    final_rows, chars = jax.lax.scan(step, rows, None, length=num_steps)
+    final_rows, codes = jax.lax.scan(step, rows, None, length=num_steps)
+    chars = R.unmap_char(arrays, codes)
     return chars.T, final_rows
 
 
 def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
     """Batched select: smallest row x with rank(c, x+1) == k+1, i.e. the
-    (k+1)-th occurrence row of symbol c in the BWT.
+    (k+1)-th occurrence row of DENSE code c in the BWT.
 
     Two-phase: binary search over segment checkpoints (occ_ckpt[:, c]
     ascending in s), then an in-segment cumulative scan — the analog of the
     reference's block_request_row select used by forward stepping
     (index.c:1915)."""
-    n_seg, seg = arrays.bwt.shape
+    n_seg = arrays.bwt.shape[0]
+    seg = R.seg_size(arrays)
     # Phase 1: find largest s with occ_ckpt[s, c] <= k  (rows before seg s).
     lo = jnp.zeros_like(c)
     hi = jnp.full_like(c, n_seg - 1)
@@ -154,7 +152,7 @@ def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
     lo, _ = jax.lax.fori_loop(0, steps, bs, (lo, hi))
     s = lo
     base = R.ckpt_base(arrays, s, c)
-    segdata = jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)  # [B, SEG]
+    segdata = R.gather_segments(arrays, s)                       # [B, SEG]
     is_c = (segdata == c[:, None]).astype(jnp.int32)
     cum = jnp.cumsum(is_c, axis=1)  # occurrences up to and including column j
     target = (k - base + 1)[:, None]
@@ -171,8 +169,8 @@ def psi_step(arrays: FMArrays, n: int, rows: jax.Array):
     psi(r) = select(c, r - C[c]) where c = first symbol of row r's suffix
     (found by searchsorted over C).  Reference: forward_query server.c:2424.
     """
-    c = (
+    cd = (
         jnp.searchsorted(arrays.C, rows, side="right").astype(jnp.int32) - 1
     )
-    k = rows - arrays.C[c]
-    return _select_char(arrays, n, c, k), c
+    k = rows - arrays.C[cd]
+    return _select_char(arrays, n, cd, k), R.unmap_char(arrays, cd)

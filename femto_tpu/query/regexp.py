@@ -46,11 +46,9 @@ class RegexpMatch:
 
 @functools.partial(jax.jit, static_argnames=())
 def _backward_step_jit(arrays, c, first, last):
-    from ..ops.rank import occ2
+    from ..ops.rank import backward_step_pair
 
-    o1, o2 = occ2(arrays, c, first, last)
-    base = arrays.C[jnp.where(c >= 0, c, 0)]
-    return base + o1, base + o2
+    return backward_step_pair(arrays, c, first, last)
 
 
 def _bucket(x: int, minimum: int = 64) -> int:

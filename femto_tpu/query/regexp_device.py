@@ -86,7 +86,7 @@ def _segment_min_over_T(contrib, dst, S: int):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     """Returns (res_first, res_last, res_cost [R], res_count, overflow)."""
-    from ..ops.rank import occ2
+    from ..ops.rank import backward_step_pair
 
     F, S, T, R = cfg.F, cfg.S, cfg.T, cfg.R
     A = ALPHA_SIZE
@@ -145,10 +145,9 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         cflat = jnp.broadcast_to(chars[None, :], (F, A)).reshape(-1)
         fflat = jnp.broadcast_to(first[:, None], (F, A)).reshape(-1)
         lflat = jnp.broadcast_to(last[:, None], (F, A)).reshape(-1)
-        o1, o2 = occ2(arrays, cflat, fflat, lflat)
-        base = arrays.C[cflat]
-        nf = (base + o1).reshape(F, A)
-        nl = (base + o2).reshape(F, A)
+        nf_flat, nl_flat = backward_step_pair(arrays, cflat, fflat, lflat)
+        nf = nf_flat.reshape(F, A)
+        nl = nl_flat.reshape(F, A)
         valid = reach & (nl > nf)
 
         # 3. new cost vectors: [F, A, S]

@@ -56,3 +56,54 @@ def test_compact_tier_matches(rng):
     f, l = ft.count_ranges(comp, [b"tier"])
     ctx = ft.extract_context(comp, int(f[0]), before=8, pattern_len=4, after=6)
     assert ctx == b"compact tier check"
+
+
+def test_packed_tier_matches(rng):
+    """Packed tier (dense alphabet + bit-packed BWT words) must answer
+    every query identically to the full tier, including for a corpus using
+    all 256 byte values (K == max)."""
+    import tempfile, os
+    from tests.oracle import naive_locate
+
+    docs = [
+        b"banana banana",
+        bytes(rng.integers(0, 256, size=9000).astype(np.uint8)),
+        b"packed tier check",
+        bytes(range(256)),
+    ]
+    prepared = ft.prepare_documents(docs)
+    full = ft.build_index(prepared, seg=64, mark_period=8)
+    pk = ft.build_index(prepared, seg=64, mark_period=8, tier="packed")
+    assert str(pk.arrays.bwt.dtype) == "uint32"
+    assert pk.meta.alpha_used > 0
+    pats = [b"banana", b"tier", b"\x00", b"zz", b"ck", bytes([7, 8, 9])]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(pk, pats))
+    assert ft.locate(pk, b"banana") == naive_locate(docs, b"banana")
+    for d in range(4):
+        assert ft.extract_document(pk, d) == docs[d]
+    f, l = ft.count_ranges(pk, [b"tier"])
+    ctx = ft.extract_context(pk, int(f[0]), before=7, pattern_len=4, after=6)
+    assert ctx == b"packed tier check"
+    # save/load roundtrip keeps the tier
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "idx.ftpu")
+        pk.save_flat(p)
+        pk2 = ft.FMIndex.load(p)
+        assert str(pk2.arrays.bwt.dtype) == "uint32"
+        np.testing.assert_array_equal(ft.count(pk2, pats), ft.count(pk, pats))
+
+
+def test_packed_tier_small_alphabet(rng):
+    """DNA-like corpus: tiny dense alphabet packs many codes per word."""
+    docs = [bytes(rng.choice([65, 67, 71, 84], size=5000).astype(np.uint8))
+            for _ in range(3)]
+    prepared = ft.prepare_documents(docs)
+    pk = ft.build_index(prepared, seg=64, mark_period=8, tier="packed")
+    full = ft.build_index(prepared, seg=64, mark_period=8)
+    # alphabet = ACGT + SEOF + EOF (+ maybe doc-id chars)
+    assert pk.meta.alpha_used <= 16
+    pats = [b"ACGT", b"GGG", b"TTTT", b"AC"]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(pk, pats))
+    assert ft.extract_document(pk, 1) == docs[1]
+    # index size: packed BWT must be < half the dense uint16 BWT
+    assert pk.arrays.bwt.size * 4 < full.arrays.bwt.size * 2 / 2
