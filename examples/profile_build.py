@@ -81,16 +81,18 @@ def main():
         log(f"{name}: {dt*1e3:.1f} ms steady")
         return out, dt
 
-    (bwt, bwt_chars), t_b = timeit(
-        "bwt_stage", lambda: BO._bwt_stage(text_dev, sa, n=n, n_pad=n_pad))
+    (bwt, bwt_chars, a_row), t_b = timeit(
+        "bwt_aux_stage (fused gather)",
+        lambda: BO._bwt_aux_stage(
+            text_dev, sa, doc_starts_dev, n=n, n_pad=n_pad,
+            mark_period=mark_period, ndocs=ndocs))
     (C, occ_ckpt, occ_l1), t_o = timeit(
         "occ_stage",
         lambda: BO._occ_stage(bwt_chars, n=n, n_seg=n_seg, seg=seg))
     marks_out, t_m = timeit(
-        "marks_stage",
-        lambda: BO._marks_stage(
-            sa, doc_starts_dev, n=n, n_pad=n_pad, seg=seg,
-            mark_period=mark_period, cap=cap, ndocs=ndocs))
+        "marks_finish",
+        lambda: BO._marks_finish(
+            sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs))
 
     t_pkg = t_b + t_o + t_m
     log(f"packaging total: {t_pkg:.3f}s -> build total {t_sa+t_pkg:.3f}s "

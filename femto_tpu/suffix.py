@@ -35,38 +35,62 @@ import numpy as np
 _MIN_BUCKET = 1 << 16
 
 
-def _bucket_pow2(m: int) -> int:
-    b = _MIN_BUCKET
-    while b < m:
-        b *= 2
-    return b
+def _bucket_anchored(m: int, n: int) -> int:
+    """Smallest n/4^j >= m (floored at _MIN_BUCKET): at most ~log4(n) work
+    shapes ever compile per corpus size, vs ~log2(n) for pow2 buckets —
+    remote compiles dominate cold builds, so fewer shapes wins."""
+    M = 1 << max((n - 1).bit_length(), _MIN_BUCKET.bit_length() - 1)
+    while M // 4 >= m and M // 4 >= _MIN_BUCKET:
+        M //= 4
+    return M
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _initial_sort(text, *, n):
-    """6-symbol pack sort.  Returns (sa, rank, unresolved, m) where rank is
-    by text position and holds the group's base slot, and unresolved[slot]
-    marks slots in groups of size > 1."""
+    """9-symbol pack sort (three 27-bit keys).  Returns (sa, rank,
+    unresolved, m) where rank is by text position and holds the group's
+    base slot, and unresolved[slot] marks slots in groups of size > 1."""
     t = text.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
     # Pack 3 symbols (9 bits each, values < 512) per 27-bit key; sorting by
-    # two packed keys orders 6-symbol prefixes, so doubling starts at k=6.
+    # three packed keys orders 9-symbol prefixes, so doubling starts at k=9
+    # — on real text most groups are already singletons after this sort.
     def pack3(shift):
         a = jnp.where(idx < n - shift, jnp.roll(t, -shift), 0)
         b = jnp.where(idx < n - shift - 1, jnp.roll(t, -shift - 1), 0)
         c = jnp.where(idx < n - shift - 2, jnp.roll(t, -shift - 2), 0)
         return (a << 18) | (b << 9) | c
 
-    s1, s2, perm = jax.lax.sort((pack3(0), pack3(3), idx), num_keys=2)
+    s1, s2, s3, perm = jax.lax.sort(
+        (pack3(0), pack3(3), pack3(6), idx), num_keys=3
+    )
     st = jnp.ones((n,), bool).at[1:].set(
-        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
     )
     base = jax.lax.cummax(jnp.where(st, idx, 0))
     rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
     nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
     unresolved = ~(st & nxt_st)
     return perm, rank, unresolved, jnp.sum(unresolved.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _full_round(rank, k, *, n):
+    """One unfiltered doubling round over all n slots (cheaper than the
+    filtered round while most groups are unresolved: rank_k comes from a
+    roll instead of per-slot gathers).  Same group-base rank convention."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank_k = jnp.where(idx < n - k, jnp.roll(rank, -k), -1)
+    s1, s2, perm = jax.lax.sort((rank, rank_k, idx), num_keys=2)
+    st = jnp.ones((n,), bool).at[1:].set(
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    )
+    base = jax.lax.cummax(jnp.where(st, idx, 0))
+    new_rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
+    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    unresolved = ~(st & nxt_st)
+    return perm, new_rank, unresolved, jnp.sum(unresolved.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "M"))
@@ -130,24 +154,46 @@ def suffix_array(text: jax.Array) -> jax.Array:
     if n == 1:
         return jnp.zeros((1,), jnp.int32)
 
+    import os
+    import sys
+    import time as _time
+
+    dbg = os.environ.get("FEMTO_TPU_SA_DEBUG", "") != ""
+    t0 = _time.perf_counter()
     sa, rank, unresolved, m_dev = _initial_sort(text, n=n)
     m = int(m_dev)
-    if m == 0:
-        return sa
-    M = _bucket_pow2(m)
-    slots = _compact_slots(unresolved, n=n, M=M)
-    k = 6
+    if dbg:
+        print(f"  sa: initial sort {_time.perf_counter()-t0:.2f}s "
+              f"unresolved={m}/{n}", file=sys.stderr, flush=True)
+    k = 9
+    slots = None
+    M = 0
     while m > 0 and k < 2 * n:
-        sa, rank, slots_next, m_dev = _filtered_round(
-            sa, rank, slots, jnp.int32(k), M=M
-        )
-        m = int(m_dev)
+        t1 = _time.perf_counter()
+        if slots is None and m > n // 4:
+            # mostly-unresolved: the roll-based full round beats the slot
+            # gather/scatter machinery
+            sa, rank, unresolved, m_dev = _full_round(rank, jnp.int32(k), n=n)
+            m = int(m_dev)
+            kind = f"full n={n}"
+        else:
+            if slots is None:
+                M = _bucket_anchored(m, n)
+                slots = _compact_slots(unresolved, n=n, M=M)
+            sa, rank, slots_next, m_dev = _filtered_round(
+                sa, rank, slots, jnp.int32(k), M=M
+            )
+            m = int(m_dev)
+            kind = f"filtered M={M}"
+            if m > 0:
+                M_next = _bucket_anchored(m, n)
+                slots = slots_next[:M_next] if M_next < M else slots_next
+                M = M_next
+        if dbg:
+            print(f"  sa: round k={k} ({kind}) -> m={m} "
+                  f"({_time.perf_counter()-t1:.2f}s)",
+                  file=sys.stderr, flush=True)
         k *= 2
-        if m == 0:
-            break
-        M_next = _bucket_pow2(m)
-        slots = slots_next[:M_next] if M_next < M else slots_next
-        M = M_next
     return sa
 
 
