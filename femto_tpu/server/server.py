@@ -32,39 +32,53 @@ from ..alphabet import CHARACTER_OFFSET, pattern_to_alpha
 from ..fmindex import FMIndex
 from ..search import (
     count_ranges,
-    locate_range,
     offsets_to_docs,
     pack_patterns,
 )
 
 
-class _BatchingCounter:
-    """Collects concurrent count requests and runs them as one device batch
-    (the RB-tree row-sort sweep, collapsed into the batch dimension)."""
+class _BatchCollector:
+    """Collects concurrent requests of EVERY protocol type and runs each
+    window as one device batch per leaf-query kind — the whole-surface
+    analog of the reference's row-sorted worker sweep over all leaf query
+    types (server.c:3093-3340), collapsed into batch dimensions.
+
+    Kinds: "count" (pattern -> row range) and "locate" (rows -> offsets).
+    find_docs / docs_for_range / string_rows all feed the same queues, so a
+    mixed concurrent workload shares device dispatches."""
 
     def __init__(self, index: FMIndex, window_ms: float = 2.0,
                  max_batch: int = 4096):
         self.index = index
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
-        self.q: "queue.Queue[Tuple[np.ndarray, object]]" = queue.Queue()
-        self.stats = {"batches": 0, "queries": 0}
+        self.q: "queue.Queue[Tuple[str, object, dict]]" = queue.Queue()
+        self.stats = {"batches": 0, "queries": 0,
+                      "count_batches": 0, "locate_batches": 0}
         self._stop = False
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, pattern_alpha: np.ndarray):
-        """Returns a threading.Event-backed future-like holder."""
-        holder = {"event": threading.Event(), "result": None}
-        self.q.put((pattern_alpha, holder))
+    def submit(self, kind: str, payload):
+        holder = {"event": threading.Event(), "result": None, "error": None}
+        self.q.put((kind, payload, holder))
         return holder
 
+    def _wait(self, holder):
+        holder["event"].wait()
+        if holder["error"] is not None:
+            raise holder["error"]
+        return holder["result"]
+
     def count(self, pattern: bytes) -> Tuple[int, int]:
-        h = self.submit(pattern_to_alpha(pattern))
-        h["event"].wait()
-        if h.get("error") is not None:
-            raise h["error"]
-        return h["result"]
+        """Row range of a literal pattern (batched across requests)."""
+        return self._wait(self.submit("count", pattern_to_alpha(pattern)))
+
+    def locate(self, rows: np.ndarray) -> np.ndarray:
+        """Text offsets of arbitrary rows (batched across requests)."""
+        if len(rows) == 0:
+            return np.zeros(0, np.int64)
+        return self._wait(self.submit("locate", np.asarray(rows)))
 
     def _run(self):
         import jax  # noqa: F401 — keeps the backend initialized per thread
@@ -84,33 +98,62 @@ class _BatchingCounter:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            try:
-                pats = [b[0] for b in batch]
-                packed, B = pack_patterns(pats)
-                first, last = _count_jit_cached(
-                    self.index, packed
-                )
-                first, last = np.asarray(first), np.asarray(last)
-                for i, (_, holder) in enumerate(batch):
-                    holder["result"] = (int(first[i]), int(last[i]))
-                    holder["event"].set()
-                self.stats["batches"] += 1
-                self.stats["queries"] += len(batch)
-            except Exception as e:  # noqa: BLE001 — keep the collector alive
-                for _, holder in batch:
-                    holder["error"] = e
-                    holder["event"].set()
-                self.stats["errors"] = self.stats.get("errors", 0) + 1
+            counts = [(p, h) for k, p, h in batch if k == "count"]
+            locs = [(p, h) for k, p, h in batch if k == "locate"]
+            if counts:
+                self._run_counts(counts)
+            if locs:
+                self._run_locates(locs)
+            self.stats["batches"] += 1
+            self.stats["queries"] += len(batch)
+
+    def _run_counts(self, items):
+        try:
+            packed, B = pack_patterns([p for p, _ in items])
+            first, last = _count_jit_cached(self.index, packed)
+            first, last = np.asarray(first), np.asarray(last)
+            for i, (_, holder) in enumerate(items):
+                holder["result"] = (int(first[i]), int(last[i]))
+                holder["event"].set()
+            self.stats["count_batches"] += 1
+        except Exception as e:  # noqa: BLE001 — keep the collector alive
+            for _, holder in items:
+                holder["error"] = e
+                holder["event"].set()
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
+
+    def _run_locates(self, items):
+        try:
+            from ..search import locate_rows_array
+
+            rows = np.concatenate([p for p, _ in items])
+            offs = locate_rows_array(self.index, rows)
+            pos = 0
+            for p, holder in items:
+                holder["result"] = offs[pos: pos + len(p)]
+                holder["event"].set()
+                pos += len(p)
+            self.stats["locate_batches"] += 1
+        except Exception as e:  # noqa: BLE001
+            for _, holder in items:
+                holder["error"] = e
+                holder["event"].set()
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
 
     def stop(self):
         self._stop = True
+
+
+# Back-compat alias (round-1 name)
+_BatchingCounter = _BatchCollector
 
 
 def _count_jit_cached(index: FMIndex, packed: np.ndarray):
     from ..search import _count_jit
     import jax.numpy as jnp
 
-    return _count_jit(index.arrays, index.meta.n, jnp.asarray(packed))
+    return _count_jit(index.arrays, index.meta.n_rows,
+                      jnp.asarray(packed), row0=index.meta.row0)
 
 
 class FemtoServer:
@@ -164,11 +207,7 @@ class FemtoServer:
         max_matches = int(parts[0])
         with_offsets = parts[1] == "1"
         pattern = parts[2]
-        from ..query.engine import docs_query
-
-        rows = docs_query(self.index, pattern,
-                          max_matches=max_matches if max_matches > 0 else None,
-                          with_offsets=with_offsets)
+        rows = self._find_docs_rows(pattern, max_matches, with_offsets)
         return json.dumps({
             "results": [
                 {
@@ -179,13 +218,48 @@ class FemtoServer:
             ]
         })
 
+    def _find_docs_rows(self, pattern: str, max_matches: int,
+                        with_offsets: bool):
+        """Literal terms ride the batching collector (count + locate batch
+        shared with all concurrent requests); regex/Boolean queries fall
+        back to the query engine."""
+        from ..query.ast import QTerm, as_literal
+        from ..query.parser import parse_query
+        from ..query.planning import streamline
+
+        cap = max_matches if max_matches > 0 else None
+        node = parse_query(pattern)
+        lit = None
+        if isinstance(node, QTerm) and node.approx.cost_bound <= 1:
+            lit = as_literal(streamline(node.regexp))
+        if lit is None:
+            from ..query.engine import docs_query
+
+            return docs_query(self.index, pattern, max_matches=cap,
+                              with_offsets=with_offsets)
+        first, last = self.counter.count(lit)
+        m = last - first if cap is None else min(last - first, cap)
+        offs = self.counter.locate(
+            np.arange(first, first + m, dtype=np.int32))
+        doc, doc_off = offsets_to_docs(self.index, np.asarray(offs))
+        per_doc = {}
+        for d, o in zip(doc.tolist(), doc_off.tolist()):
+            per_doc.setdefault(d, []).append(o)
+        return [
+            (d, self.index.infos[d], sorted(o))
+            for d, o in sorted(per_doc.items())
+        ]
+
     def _docs_for_range(self, rest: str) -> str:
         parts = rest.split()
         max_matches, with_offsets = int(parts[0]), parts[1] == "1"
         start, end = int(parts[2]), int(parts[3])
-        offs = locate_range(self.index, start, end,
-                            max_matches if max_matches > 0 else None)
-        doc, doc_off = offsets_to_docs(self.index, offs)
+        m = end - start
+        if max_matches > 0:
+            m = min(m, max_matches)
+        offs = self.counter.locate(
+            np.arange(start, start + max(m, 0), dtype=np.int32))
+        doc, doc_off = offsets_to_docs(self.index, np.asarray(offs))
         per_doc = {}
         for d, o in zip(doc.tolist(), doc_off.tolist()):
             per_doc.setdefault(d, []).append(o)
