@@ -71,9 +71,48 @@ def _exclusive_base(v: jax.Array, axis: str):
     return jnp.sum(jnp.where(jnp.arange(D) < me, allv, 0)).astype(v.dtype)
 
 
-def _dist_sa_shardmap(text_block: jax.Array, key: jax.Array, *, n: int,
-                      n_pad: int, cap: int, axis: str):
-    """Per-device body: returns (sa_block, bwt_block, overflow)."""
+def _aux_local_block(doc_starts, gidx, *, n: int, mark_period: int,
+                     ndocs: int, me, m: int):
+    """Per-position aux words for this shard's block: bit0 = should_mark,
+    bits1.. = doc id + 1 at SEOF positions (build_ops._aux_positions, the
+    sharded edition: doc-start propagation = local cummax + a scalar
+    searchsorted carry)."""
+    seof = doc_starts[1:] - 1
+    lse = seof - me * m
+    in_r = (lse >= 0) & (lse < m)
+    tag = jnp.zeros((m,), jnp.int32).at[jnp.where(in_r, lse, m)].set(
+        jnp.arange(1, ndocs + 1, dtype=jnp.int32), mode="drop"
+    )
+    starts = doc_starts[:-1]
+    lst = starts - me * m
+    in_s = (lst >= 0) & (lst < m)
+    is_start = jnp.zeros((m,), bool).at[jnp.where(in_s, lst, m)].set(
+        True, mode="drop"
+    )
+    if mark_period == 0:
+        marked = jnp.zeros((m,), bool)
+    else:
+        carry = doc_starts[
+            jnp.maximum(
+                jnp.searchsorted(doc_starts, me * m, side="right") - 1, 0
+            )
+        ]
+        dstart = jnp.maximum(
+            jax.lax.cummax(jnp.where(is_start, gidx, 0)), carry
+        )
+        doc_off = gidx - dstart
+        marked = is_start | (tag > 0) | (doc_off % mark_period == 0)
+    valid = gidx < n
+    marked = marked & valid
+    tag = jnp.where(valid, tag, 0)
+    return marked.astype(jnp.int32) | (tag << 1)
+
+
+def _dist_sa_shardmap(text_block: jax.Array, doc_starts: jax.Array,
+                      key: jax.Array, *, n: int, n_pad: int, cap: int,
+                      mark_period: int, ndocs: int, axis: str):
+    """Per-device body: returns (sa_block, bwt_block, a_row_block,
+    overflow)."""
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     m = text_block.shape[0]
@@ -152,25 +191,36 @@ def _dist_sa_shardmap(text_block: jax.Array, key: jax.Array, *, n: int,
     overflow = jnp.maximum(overflow, of)
     sa = sidx
 
-    # BWT: bwt[r] = text[(sa[r]-1) mod n_pad] via request routing
+    # BWT + row aux in ONE routed pull: packed[p] = text[p] | aux[p+1]<<9,
+    # so the request for position (sa[r]-1) mod n_pad returns both the BWT
+    # symbol and row r's mark/SEOF info (the sharded twin of
+    # build_ops._bwt_aux_stage's fused gather).
+    aux = _aux_local_block(doc_starts, gidx, n=n, mark_period=mark_period,
+                           ndocs=ndocs, me=me, m=m)
+    aux0 = jax.lax.psum(jnp.where(me == 0, aux[0], 0), axis)
+    aux_next = _shift_left_blocks(aux, 1, n_pad, aux0, axis)  # aux[p+1 % n_pad]
+    packed = text_block.astype(jnp.int32) | (aux_next << 9)
+
     pos = jnp.where(sa == 0, n_pad - 1, sa - 1)
     kkey = jax.random.fold_in(key, 1 << 30)
     recs, rvalid, of1 = bins.valiant_exchange(
         pos // m, [pos, gidx], cap, axis, kkey
     )
     lp = jnp.where(rvalid, recs[0] - me * m, 0)
-    chars = jnp.where(rvalid, text_block[lp].astype(jnp.int32), 0)
+    vals = jnp.where(rvalid, packed[lp], 0)
     # route answers back to the row owner
     kkey2 = jax.random.fold_in(key, (1 << 30) + 1)
     recs2, rvalid2, of2 = bins.valiant_exchange(
-        recs[1] // m, [recs[1], chars], cap, axis, kkey2, valid=rvalid
+        recs[1] // m, [recs[1], vals], cap, axis, kkey2, valid=rvalid
     )
     lrow = jnp.where(rvalid2, recs2[0] - me * m, m)
-    bwt = jnp.full((m,), INVALID_ALPHA, jnp.int32).at[lrow].set(
+    pulled = jnp.full((m,), INVALID_ALPHA, jnp.int32).at[lrow].set(
         recs2[1], mode="drop"
     )
+    bwt = pulled & 511          # INVALID_ALPHA == 511 survives the mask
+    a_row = pulled >> 9
     overflow = jnp.maximum(overflow, jnp.maximum(of1, of2))
-    return sa, bwt, overflow
+    return sa, bwt, a_row, overflow
 
 
 def dist_suffix_array(
@@ -180,13 +230,16 @@ def dist_suffix_array(
     cap_factor: float = 4.0,
     seed: int = 0,
     n: Optional[int] = None,
+    doc_starts: Optional[jax.Array] = None,
+    mark_period: int = 0,
 ):
     """Distributed SA+BWT of a padded, equally-sharded text.
 
     text: int32[n_pad] with n_pad % (D * SEG) == 0 (pad with 0 symbols);
     n: real (unpadded) length, defaults to n_pad.
-    Returns (sa, bwt, overflow) sharded arrays; check overflow == 0 on host
-    and retry with a larger cap_factor if not.
+    Returns (sa, bwt, a_row, overflow) sharded arrays — a_row carries each
+    row's mark bit and SEOF doc tag (0 when doc_starts is omitted); check
+    overflow == 0 on host and retry with a larger cap_factor if not.
     """
     D = mesh.devices.size
     n_pad = int(text.shape[0])
@@ -195,17 +248,29 @@ def dist_suffix_array(
     m = n_pad // D
     cap = max(64, int(np.ceil(cap_factor * m / D)))
     key = jax.random.PRNGKey(seed)
+    if doc_starts is None:
+        ndocs = 1
+        doc_starts = jnp.asarray([0, n], jnp.int32)
+        mark_period = 0
+    else:
+        ndocs = int(doc_starts.shape[0]) - 1
+    if ndocs >= (1 << 21):
+        raise ValueError(
+            "sharded build packs doc tags into 21 bits; corpora with >= 2^21"
+            " documents need the chunked builder (femto_tpu.multi)"
+        )
 
     fn = functools.partial(
-        _dist_sa_shardmap, n=n, n_pad=n_pad, cap=cap, axis=axis
+        _dist_sa_shardmap, n=n, n_pad=n_pad, cap=cap,
+        mark_period=mark_period, ndocs=ndocs, axis=axis,
     )
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(axis), P(axis), P()),
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
     )
-    return jax.jit(mapped)(text, key)
+    return jax.jit(mapped)(text, doc_starts, key)
 
 
 def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG):
@@ -218,15 +283,82 @@ def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG):
     return out, n_pad
 
 
-def _pad_to_multiple(arr, d: int):
-    """Pad a 1-D array with -1 so its length divides the mesh size
-    (mark_vals is sharded by global mark rank; pad lanes never resolve)."""
-    import jax.numpy as jnp
+def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, *,
+                   n_pad: int, seg: int, ndocs: int, cap_local: int,
+                   axis: str):
+    """Per-shard index packaging: each shard packages its own row range —
+    the TPU analog of the reference's per-bin write_index_files_node
+    (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI."""
+    from ..alphabet import ALPHA_SIZE
+    from ..ops.build_ops import _hist_core
 
-    pad = (-arr.shape[0]) % d
-    if pad == 0:
-        return arr
-    return jnp.concatenate([arr, jnp.full((pad,), -1, arr.dtype)])
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    m = sa_block.shape[0]
+    nseg_local = m // seg
+
+    # --- occ checkpoints: local MXU histogram + cross-shard prefix base ---
+    CH = 512
+    nchunks = -(-nseg_local // CH)
+    pad_syms = nchunks * CH * seg - m
+    b3 = jnp.concatenate(
+        [bwt_block.astype(jnp.int32), jnp.full((pad_syms,), -1, jnp.int32)]
+    ).reshape(nchunks, CH, seg)
+    per_seg = _hist_core(b3, ALPHA_SIZE)[:nseg_local]
+    totals = per_seg.sum(axis=0)
+    allt = jax.lax.all_gather(totals, axis)               # [D, A]
+    base = jnp.sum(
+        jnp.where((jnp.arange(D) < me)[:, None], allt, 0), axis=0
+    ).astype(jnp.int32)
+    occ_ckpt = base[None, :] + jnp.concatenate(
+        [jnp.zeros((1, ALPHA_SIZE), jnp.int32),
+         jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32)]
+    )
+    gtot = jax.lax.psum(totals, axis)   # psum => statically replicated
+    C = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gtot).astype(jnp.int32)]
+    )
+
+    # --- marks: bitmap + GLOBAL-count checkpoints + local value store ---
+    marked = (a_row_block & 1) != 0
+    row_tag = a_row_block >> 1
+    bits = marked.reshape(m // 32, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    mark_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32).reshape(
+        nseg_local, seg // 32
+    )
+    per_seg_marks = marked.reshape(nseg_local, seg).sum(axis=1).astype(
+        jnp.int32)
+    local_marks = per_seg_marks.sum()
+    allm = jax.lax.all_gather(local_marks, axis)          # [D]
+    mark_base = jnp.sum(
+        jnp.where(jnp.arange(D) < me, allm, 0)).astype(jnp.int32)
+    mark_ckpt = mark_base + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
+    ).astype(jnp.int32)
+    # per-shard value compaction (lookup: grank - mark_ckpt_local[0])
+    mrank = jnp.cumsum(marked.astype(jnp.int32)) - marked.astype(jnp.int32)
+    slot = jnp.where(marked, jnp.minimum(mrank, cap_local - 1), cap_local)
+    mark_vals = (
+        jnp.full((cap_local + 1,), -1, jnp.int32)
+        .at[slot].set(sa_block, mode="drop", indices_are_sorted=True)
+        [:cap_local]
+    )
+    mark_overflow = jnp.maximum(local_marks - cap_local, 0)
+
+    # --- per-doc SEOF rows: local partial + psum merge ---
+    gidx = me * m + jnp.arange(m, dtype=jnp.int32)
+    dpart = (
+        jnp.zeros((ndocs + 1,), jnp.int32)
+        .at[jnp.where(row_tag > 0, row_tag - 1, ndocs)]
+        .set(gidx, mode="drop")[:ndocs]
+    )
+    doc_seof_rows = jax.lax.psum(dpart, axis)
+    n_marks = jax.lax.psum(local_marks, axis)
+
+    bwt2d = bwt_block.astype(jnp.uint16).reshape(nseg_local, seg)
+    return (bwt2d, occ_ckpt, C, mark_bits, mark_ckpt, mark_vals,
+            doc_seof_rows, n_marks, jax.lax.pmax(mark_overflow, axis))
 
 
 def build_index_sharded(
@@ -238,25 +370,35 @@ def build_index_sharded(
     cap_factor: float = 4.0,
     max_retries: int = 3,
 ):
-    """Distributed end-to-end build.  SA/BWT are computed fully sharded on
-    the mesh; index packaging runs on host (like the single-chip path) and
-    the resulting FMArrays can be device_put with a row sharding for
-    sharded queries (dist_query.py).
+    """Distributed end-to-end build, fully on device: SA/BWT via the
+    sharded sample sort, then per-shard packaging (_package_shard) — no
+    host O(n) step and no full-array device_get anywhere.
+
+    The mesh padding stays in the index as `pad` leading rows
+    (meta.row0 = pad, meta.n_rows = n_pad); pad suffixes are all-zero
+    strings that no pattern can match, so queries over [row0, n_rows) are
+    exact.
 
     Returns an FMIndex whose arrays live sharded across `mesh`.
     """
-    from ..fmindex import FMIndex, build_fm_arrays
-    from .mesh import row_sharding, replicated
+    from ..alphabet import ALPHA_SIZE
+    from ..fmindex import FMIndex, FMMeta
+    from ..ops.build_ops import mark_cap
+    from .mesh import replicated
 
     D = mesh.devices.size
+    n = prepared.n
+    ndocs = prepared.num_docs
     text_pad, n_pad = pad_text_for_mesh(prepared.text, D, seg)
     sharding = NamedSharding(mesh, P(axis))
     text_dev = jax.device_put(jnp.asarray(text_pad), sharding)
+    doc_starts_dev = jnp.asarray(prepared.doc_starts.astype(np.int32))
 
     cf = cap_factor
     for attempt in range(max_retries):
-        sa, bwt, overflow = dist_suffix_array(
-            text_dev, mesh, axis, cap_factor=cf, seed=attempt, n=prepared.n
+        sa, bwt, a_row, overflow = dist_suffix_array(
+            text_dev, mesh, axis, cap_factor=cf, seed=attempt, n=n,
+            doc_starts=doc_starts_dev, mark_period=mark_period,
         )
         if int(jax.device_get(overflow)) <= 0:
             break
@@ -265,47 +407,61 @@ def build_index_sharded(
         # Deterministic last resort: cap = m (a single pair can never carry
         # more than one device's whole block), memory-heavy but cannot
         # overflow — the randomized-retry analog of MPI backpressure.
-        sa, bwt, overflow = dist_suffix_array(
+        sa, bwt, a_row, overflow = dist_suffix_array(
             text_dev, mesh, axis, cap_factor=float(D), seed=max_retries,
-            n=prepared.n,
+            n=n, doc_starts=doc_starts_dev, mark_period=mark_period,
         )
         if int(jax.device_get(overflow)) > 0:
             raise RuntimeError(
                 "distributed sort capacity overflow even at cap=m"
             )
 
-    # Host packaging over the real (unpadded) rows: pad rows are the first
-    # `pad` rows (all-zero suffixes sort before everything).
-    n = prepared.n
-    pad = n_pad - n
-    sa_np = np.asarray(jax.device_get(sa))[pad:]
-    arrays, meta = build_fm_arrays(
-        prepared.text, sa_np.astype(np.int64), prepared.doc_starts,
-        seg=seg, mark_period=mark_period, seg_multiple=D,
-    )
-    # re-place arrays sharded over the mesh
-    row = row_sharding(mesh, axis)
+    m = n_pad // D
+    # Marked rows can cluster in one shard (identical docs put doc-start
+    # suffixes adjacent), so start from the uniform estimate and grow on
+    # overflow up to the global bound.
+    cap_total = mark_cap(n_pad, ndocs, mark_period, seg)
+    cap_local = min(mark_cap(m, min(ndocs, m), mark_period, seg) * 2,
+                    cap_total)
+    while True:
+        fn = functools.partial(
+            _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
+            cap_local=cap_local, axis=axis,
+        )
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis, None), P(axis, None), P(), P(axis, None),
+                       P(axis), P(axis), P(), P(), P()),
+        )
+        (bwt2d, occ_ckpt, C, mark_bits, mark_ckpt, mark_vals, doc_seof_rows,
+         n_marks, mark_of) = jax.jit(mapped)(sa, bwt, a_row, doc_starts_dev)
+        if int(jax.device_get(mark_of)) <= 0:
+            break
+        if cap_local >= cap_total:
+            raise RuntimeError("per-shard mark capacity overflow")
+        cap_local = min(cap_local * 4, cap_total)
+
     rep = replicated(mesh)
-
-    def shardable(x):
-        return x.shape[0] % D == 0
-
     arrays = FMArrays(
-        bwt=jax.device_put(arrays.bwt, row if shardable(arrays.bwt) else rep),
-        occ_ckpt=jax.device_put(
-            arrays.occ_ckpt, row if shardable(arrays.occ_ckpt) else rep
-        ),
-        occ_l1=jax.device_put(arrays.occ_l1, rep),
-        C=jax.device_put(arrays.C, rep),
-        mark_bits=jax.device_put(
-            arrays.mark_bits, row if shardable(arrays.mark_bits) else rep
-        ),
-        mark_ckpt=jax.device_put(
-            arrays.mark_ckpt, row if shardable(arrays.mark_ckpt) else rep
-        ),
-        mark_vals=jax.device_put(_pad_to_multiple(arrays.mark_vals, D), row),
-        doc_starts=jax.device_put(arrays.doc_starts, rep),
-        doc_seof_rows=jax.device_put(arrays.doc_seof_rows, rep),
+        bwt=bwt2d,
+        occ_ckpt=occ_ckpt,
+        occ_l1=jax.device_put(jnp.zeros((1, ALPHA_SIZE), jnp.int32), rep),
+        C=C,
+        mark_bits=mark_bits,
+        mark_ckpt=mark_ckpt,
+        mark_vals=mark_vals,
+        doc_starts=jax.device_put(doc_starts_dev, rep),
+        doc_seof_rows=doc_seof_rows,
+        alpha_map=jax.device_put(
+            jnp.arange(ALPHA_SIZE, dtype=jnp.int32), rep),
+        alpha_rev=jax.device_put(
+            jnp.arange(ALPHA_SIZE, dtype=jnp.int32), rep),
+    )
+    meta = FMMeta(
+        n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
+        n_marks=int(n_marks), n_seg=n_pad // seg,
+        n_rows=n_pad, row0=n_pad - n,
     )
     return FMIndex(
         arrays=arrays,

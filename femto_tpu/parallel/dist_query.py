@@ -29,12 +29,18 @@ def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
                c: jax.Array, r: jax.Array) -> jax.Array:
     """Local contribution to occ(c, r); psum'd by the caller."""
     seg = arrays.bwt.shape[1]
+    D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
+    n_rows_total = D * nseg_local * seg
     valid = (c >= 0) & (c < ALPHA_SIZE)
     cc = jnp.where(valid, c, 0)
+    # r == n_rows_total (the initial `last` of a padded sharded build) has
+    # no owning segment: occ(c, n_rows) = total occurrences of c in the
+    # BWT = C[c+1] - C[c]; shard 0 contributes it so the psum stays exact.
+    at_end = valid & (r >= n_rows_total)
     s = r // seg
     sl = s - me * nseg_local
-    mine = valid & (sl >= 0) & (sl < nseg_local)
+    mine = valid & (~at_end) & (sl >= 0) & (sl < nseg_local)
     sl = jnp.where(mine, sl, 0)
     off = r - s * seg
     base = arrays.occ_ckpt[sl, cc]
@@ -43,7 +49,9 @@ def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
     within = jnp.sum(
         (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
-    return jnp.where(mine, base + within, 0)
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    return (jnp.where(mine, base + within, 0)
+            + jnp.where(at_end & (me == 0), total, 0))
 
 
 def occ_sharded(arrays: FMArrays, nseg_local: int, axis: str,
@@ -70,9 +78,9 @@ def lf_step_sharded(arrays: FMArrays, nseg_local: int, axis: str,
 
 
 def _backward_search_body(arrays: FMArrays, pats: jax.Array, *, n: int,
-                          nseg_local: int, axis: str):
+                          row0: int, nseg_local: int, axis: str):
     B, P = pats.shape
-    first = jnp.zeros(B, dtype=jnp.int32)
+    first = jnp.full(B, row0, dtype=jnp.int32)
     last = jnp.full(B, n, dtype=jnp.int32)
     cols = jnp.flip(pats, axis=1).T
 
@@ -96,7 +104,7 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
     """Sharded locate: LF-walk to marked rows with mark metadata sharded."""
     seg = arrays.bwt.shape[1]
     me = jax.lax.axis_index(axis)
-    mv_local = arrays.mark_vals.shape[0]  # local shard of the value array
+    mv_local = arrays.mark_vals.shape[0]  # per-shard value store capacity
 
     def mark_info(r):
         s = r // seg
@@ -114,13 +122,12 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
         part = jax.lax.population_count(word & pmask).astype(jnp.int32)
         grank = arrays.mark_ckpt[sl] + cnt + part
         is_m = jax.lax.psum(jnp.where(mine, bit.astype(jnp.int32), 0), axis) > 0
-        grank = jax.lax.psum(jnp.where(mine, grank, 0), axis)
-        # mark_vals is sharded by global mark rank: the owning shard
-        # resolves the value, everyone else contributes 0, one psum merges.
-        lrank = grank - me * mv_local
-        own = (lrank >= 0) & (lrank < mv_local)
-        v = arrays.mark_vals[jnp.where(own, lrank, 0)]
-        mv = jax.lax.psum(jnp.where(own, v, 0), axis)
+        # mark_vals is a PER-SHARD compaction (build_index_sharded's
+        # _package_shard): the row's owner also owns its value at
+        # grank - (global marks before this shard) = grank - mark_ckpt[0].
+        lrank = jnp.clip(grank - arrays.mark_ckpt[0], 0, mv_local - 1)
+        v = arrays.mark_vals[lrank]
+        mv = jax.lax.psum(jnp.where(mine, v, 0), axis)
         return is_m, mv
 
     B = rows.shape[0]
@@ -154,6 +161,8 @@ def _specs_for_arrays(axis: str):
         mark_vals=P(axis),
         doc_starts=P(),
         doc_seof_rows=P(),
+        alpha_map=P(),
+        alpha_rev=P(),
     )
 
 
@@ -172,7 +181,8 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
     fn = functools.partial(
-        _backward_search_body, n=meta.n, nseg_local=nseg_local, axis=axis
+        _backward_search_body, n=meta.n_rows, row0=meta.row0,
+        nseg_local=nseg_local, axis=axis,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh,

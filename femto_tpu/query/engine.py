@@ -53,7 +53,7 @@ def term_ranges(index: FMIndex, term: QTerm,
     regexp = streamline(term.regexp)
     if matches_empty(regexp):
         # empty string matches every row (query_planning semantics)
-        return [(0, index.meta.n, 0)]
+        return [(index.meta.row0, index.meta.n_rows, 0)]
     lit = as_literal(regexp)
     if lit is not None and term.approx.cost_bound <= 1:
         first, last = count_ranges(index, [lit])

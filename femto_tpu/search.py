@@ -45,9 +45,9 @@ def pack_patterns(
     return out, B
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _count_jit(arrays, n, pats):
-    first, last = S.backward_search(arrays, n, pats)
+@functools.partial(jax.jit, static_argnames=("n", "row0"))
+def _count_jit(arrays, n, pats, row0=0):
+    first, last = S.backward_search(arrays, n, pats, row0=row0)
     return first, last
 
 
@@ -80,7 +80,8 @@ def count_ranges(
     if not patterns:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     pats, B = pack_patterns([pattern_to_alpha(p) for p in patterns])
-    first, last = _count_jit(index.arrays, index.meta.n, jnp.asarray(pats))
+    first, last = _count_jit(index.arrays, index.meta.n_rows,
+                             jnp.asarray(pats), row0=index.meta.row0)
     return np.asarray(first)[:B].astype(np.int64), np.asarray(last)[:B].astype(np.int64)
 
 
@@ -208,33 +209,82 @@ def extract_all_documents(index: FMIndex) -> List[bytes]:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("n", "num_steps"))
+def _psi_scan_jit(arrays, n, rows, num_steps):
+    """Forward psi-walk collecting first-symbol chars: int32[B, steps]."""
+
+    def step(rr, _):
+        nxt, c = S.psi_step(arrays, n, rr)
+        return nxt, c
+
+    _, chars = jax.lax.scan(step, rows, None, length=num_steps)
+    return chars.T
+
+
+def locate_rows_array(index: FMIndex, rows: np.ndarray) -> np.ndarray:
+    """Text offsets for an arbitrary batch of rows (one device call)."""
+    m = len(rows)
+    if m == 0:
+        return np.zeros(0, np.int64)
+    from .metrics import metrics
+
+    metrics.count("queries/locate_rows", m)
+    Bp = _bucket(m)
+    rr = np.zeros(Bp, dtype=np.int32)
+    rr[:m] = rows
+    offs = _locate_jit(
+        index.arrays, index.meta.n, index.meta.mark_period, jnp.asarray(rr)
+    )
+    return np.asarray(offs)[:m].astype(np.int64)
+
+
+def extract_context_batch(
+    index: FMIndex, rows, before: int, pattern_len: int, after: int
+) -> List[bytes]:
+    """Batched context extraction: for each match row, `before` chars of
+    left context + the match + `after` chars of right context
+    (context_query, server.c:2627), in TWO device dispatches for the whole
+    batch (one backward LF scan, one forward psi scan) instead of one
+    dispatch per character per row.  Stops at document boundaries."""
+    n = index.meta.n
+    B = len(rows)
+    if B == 0:
+        return []
+    Bp = _bucket(B)
+    rows_np = np.zeros(Bp, dtype=np.int32)
+    rows_np[:B] = rows
+    rows_dev = jnp.asarray(rows_np)
+    fwd_steps = pattern_len + after
+    if fwd_steps > 0:
+        chars_fwd = np.asarray(
+            _psi_scan_jit(index.arrays, n, rows_dev, fwd_steps)
+        )[:B]
+    else:
+        chars_fwd = np.zeros((B, 0), np.int64)
+    if before > 0:
+        chars_back, _ = _extract_jit(
+            index.arrays, n, rows_dev, _bucket(before)
+        )
+        chars_back = np.asarray(chars_back)[:B, :before]
+    else:
+        chars_back = np.zeros((B, 0), np.int64)
+    out = []
+    for i in range(B):
+        left = chars_back[i][::-1]
+        nonchar = left < CHARACTER_OFFSET
+        if nonchar.any():
+            left = left[int(np.nonzero(nonchar)[0].max()) + 1:]
+        fwd = chars_fwd[i]
+        stops = np.nonzero(fwd < CHARACTER_OFFSET)[0]
+        if len(stops):
+            fwd = fwd[: stops[0]]
+        seq = np.concatenate([left.astype(np.int64), fwd.astype(np.int64)])
+        out.append((seq - CHARACTER_OFFSET).astype(np.uint8).tobytes())
+    return out
+
+
 def extract_context(
     index: FMIndex, row: int, before: int, pattern_len: int, after: int
 ) -> bytes:
-    """Bytes around a match row: `before` chars of left context, the match,
-    and `after` chars of right context (context_query, server.c:2627).
-    Stops at document boundaries (SEOF) like the reference."""
-    n = index.meta.n
-    before_b = _bucket(max(before, 1))
-    rows = jnp.asarray(np.array([row], dtype=np.int32))
-    chars, _ = _extract_jit(index.arrays, n, rows, before_b)
-    left = np.asarray(chars)[0][:before][::-1]
-    # forward: psi-walk collecting first chars.
-    out = []
-    rr = jnp.asarray(np.array([row], dtype=np.int32))
-    for _ in range(pattern_len + after):
-        nxt, c = S.psi_step(index.arrays, n, rr)
-        cv = int(np.asarray(c)[0])
-        if cv < CHARACTER_OFFSET:
-            break
-        out.append(cv)
-        rr = nxt
-    # trim left context at doc boundary
-    cut = 0
-    for i, v in enumerate(left[::-1]):
-        if v < CHARACTER_OFFSET:
-            cut = len(left) - i
-            break
-    left = left[cut:]
-    seq = np.concatenate([left, np.asarray(out, dtype=np.int64)])
-    return (seq - CHARACTER_OFFSET).astype(np.uint8).tobytes()
+    """Single-row wrapper over extract_context_batch."""
+    return extract_context_batch(index, [row], before, pattern_len, after)[0]

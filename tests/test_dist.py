@@ -132,7 +132,7 @@ def test_dist_suffix_array(mesh, rng):
         n = int(rng.integers(50, 800))
         text = rng.integers(1, 7, size=n).astype(np.int32)
         text_pad, n_pad = pad_text_for_mesh(text, D, seg=32)
-        sa, bwt, of = dist_suffix_array(
+        sa, bwt, _aux, of = dist_suffix_array(
             jax.device_put(jnp.asarray(text_pad),
                            jax.NamedSharding(mesh, P(DEFAULT_AXIS))),
             mesh, n=n,
@@ -185,3 +185,29 @@ def test_sharded_locate(sharded_index, mesh):
     doc, doc_off = ft.offsets_to_docs(index, offs.astype(np.int64))
     got = sorted(zip(doc.tolist(), doc_off.tolist()))
     assert got == naive_locate(docs, b"abra")
+
+
+def test_sharded_build_is_device_only(sharded_index, mesh):
+    """The sharded build must not funnel through a host numpy packaging
+    step: every row-dimension array stays sharded over the mesh, and the
+    padded row space is declared via meta.row0/n_rows."""
+    docs, index = sharded_index
+    assert index.meta.n_rows > index.meta.n  # pad rows retained
+    assert index.meta.row0 == index.meta.n_rows - index.meta.n
+    for name in ("bwt", "occ_ckpt", "mark_bits", "mark_ckpt", "mark_vals"):
+        arr = getattr(index.arrays, name)
+        shards = {s.device for s in arr.addressable_shards}
+        assert len(shards) == D, (name, len(shards))
+
+
+def test_sharded_extract_and_empty_pattern(sharded_index, mesh):
+    """Pad rows never match patterns; empty pattern counts exactly the real
+    rows; extraction works against the sharded index."""
+    docs, index = sharded_index
+    pats = [b"", b"\x00"]
+    packed, B = pack_patterns([pattern_to_alpha(p) for p in pats])
+    first, last = sharded_backward_search(index, mesh, packed)
+    counts = (np.asarray(last) - np.asarray(first))[:B]
+    assert counts[0] == index.meta.n  # every real row matches ""
+    assert counts[1] == naive_count(docs, b"\x00")
+    assert ft.extract_document(index, 1) == docs[1]
