@@ -32,12 +32,20 @@ from .query.regexp import _backward_step
 
 
 def common_substrings(
-    index: FMIndex, length: int, min_count: int = 2, top_k: int = 20
+    index: FMIndex, length: int, min_count: int = 2, top_k: int = 20,
+    max_frontier: Optional[int] = None,
 ) -> List[Tuple[bytes, int]]:
     """Most common substrings of the given length — breadth-first expansion
     of index row ranges, one batched device layer per character (the BFS of
-    extract_tool.cc).  Ranges below min_count are pruned; the beam keeps the
-    top_k heaviest per layer."""
+    extract_tool.cc).
+
+    EXACT by default: an extension's count never exceeds its parent's, so
+    pruning ranges below min_count cannot drop a true top-k result.  Pass
+    max_frontier to cap memory on huge corpora — if the cap truncates, a
+    warning reports that results may be incomplete (the round-1 silent-beam
+    truncation is gone)."""
+    import warnings
+
     n = index.meta.n
     # frontier entries: (first, last, suffix-bytes-so-far)
     frontier: List[Tuple[int, int, bytes]] = [(0, n, b"")]
@@ -57,8 +65,16 @@ def common_substrings(
                 # reversed; we want common substrings read forward
                 nxt.append((int(f2), int(l2),
                             bytes([c - CHARACTER_OFFSET]) + frontier[ei][2]))
-        nxt.sort(key=lambda e: e[1] - e[0], reverse=True)
-        frontier = nxt[: max(top_k * 8, 256)]
+        if max_frontier is not None and len(nxt) > max_frontier:
+            nxt.sort(key=lambda e: e[1] - e[0], reverse=True)
+            warnings.warn(
+                f"common_substrings frontier truncated to {max_frontier} of "
+                f"{len(nxt)} candidates; results may be incomplete "
+                "(raise max_frontier or min_count)",
+                stacklevel=2,
+            )
+            nxt = nxt[:max_frontier]
+        frontier = nxt
         if not frontier:
             return []
     frontier.sort(key=lambda e: e[1] - e[0], reverse=True)

@@ -1,0 +1,139 @@
+"""Property-based conformance fuzzing (VERDICT round-1 item 10).
+
+Hypothesis generates document sets, byte-string queries, Boolean
+combinations, and header/icase variations; EVERY query's count, doc ids,
+and offsets are checked against naive scans of the raw documents — the
+exhaustive analog of test.pl's checkresults (reference
+src/test/test.pl:173-230), which checks offsets on all queries.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import femto_tpu as ft
+from femto_tpu.query.engine import count_query, docs_query
+from tests.oracle import naive_count, naive_docs, naive_locate
+
+ALPHABETS = [
+    bytes([0, 1]),
+    b"ab",
+    b"abcd ",
+    bytes(range(256)),
+]
+
+
+@st.composite
+def corpus(draw):
+    ndocs = draw(st.integers(1, 8))
+    docs = []
+    for _ in range(ndocs):
+        alpha = draw(st.sampled_from(ALPHABETS))
+        length = draw(st.integers(0, 300))
+        docs.append(bytes(draw(st.sampled_from(alpha))
+                          for _ in range(length)))
+    # ensure at least one non-empty doc so queries have targets
+    if not any(docs):
+        docs.append(b"anchor doc")
+    return docs
+
+
+def derive_queries(draw, docs):
+    qs = []
+    for _ in range(4):
+        src = draw(st.sampled_from([d for d in docs if d] or [b"x"]))
+        if len(src) >= 2:
+            i = draw(st.integers(0, len(src) - 1))
+            j = draw(st.integers(i + 1, min(len(src), i + 6)))
+            qs.append(src[i:j])
+        else:
+            qs.append(src)
+    qs.append(bytes(draw(st.binary(min_size=1, max_size=4))))
+    return qs
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_fuzz_count_locate(data):
+    docs = data.draw(corpus())
+    mark_period = data.draw(st.sampled_from([4, 20]))
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=mark_period)
+    queries = derive_queries(data.draw, docs)
+    counts = ft.count(index, queries)
+    for q, c in zip(queries, counts):
+        assert int(c) == naive_count(docs, q), q
+        # offsets checked on EVERY query (test.pl checks all)
+        assert ft.locate(index, q) == naive_locate(docs, q), q
+
+
+def _quote(q: bytes) -> str:
+    """Quote a byte-string term for the query language ({x } hex form)."""
+    return "{x " + " ".join(f"{b:02x}" for b in q) + " }"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_fuzz_boolean(data):
+    docs = data.draw(corpus())
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=8)
+    qa, qb = derive_queries(data.draw, docs)[:2]
+    da, db = set(naive_docs(docs, qa)), set(naive_docs(docs, qb))
+    op = data.draw(st.sampled_from(["AND", "OR", "NOT", "THEN", "WITHIN"]))
+    if op in ("AND", "OR", "NOT"):
+        expr = f"{_quote(qa)} {op} {_quote(qb)}"
+        want = {"AND": da & db, "OR": da | db, "NOT": da - db}[op]
+    else:
+        dist = data.draw(st.integers(0, 30))
+        expr = f"{_quote(qa)} {op} {dist} {_quote(qb)}"
+        la, lb = naive_locate(docs, qa), naive_locate(docs, qb)
+        want = set()
+        for d, off in la:
+            for d2, off2 in lb:
+                if d2 != d:
+                    continue
+                delta = off2 - off
+                ok = (0 <= delta <= dist) if op == "THEN" \
+                    else abs(delta) <= dist
+                if ok:
+                    want.add(d)
+    got = {d for d, _, _ in docs_query(index, expr)}
+    assert got == want, (expr, got, want)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_fuzz_headers_icase(data):
+    """Header sections are searchable; icase folds ASCII case (test.pl's
+    header/icase coverage)."""
+    words = [b"Apple", b"BANANA", b"cherry", b"Date"]
+    bodies = data.draw(st.lists(st.sampled_from(words), min_size=1,
+                                max_size=5))
+    hdrs = data.draw(st.lists(st.sampled_from(words), min_size=1,
+                              max_size=5))
+    docs = [b" ".join(bodies) for _ in range(2)]
+    headers = [b" ".join(hdrs) for _ in range(2)]
+    prepared = ft.prepare_documents(docs, headers=headers)
+    index = ft.build_index(prepared, seg=64, mark_period=8)
+    # icase count over bodies+headers vs naive fold
+    target = data.draw(st.sampled_from(words))
+    got = count_query(index, target.decode(), icase=True)
+    hay = b" ".join(bodies).lower() * 2 + b" ".join(hdrs).lower() * 2
+    wantc = 0
+    t = target.lower()
+    for blob in [b" ".join(bodies).lower()] * 2 + [b" ".join(hdrs).lower()] * 2:
+        start = 0
+        while True:
+            i = blob.find(t, start)
+            if i < 0:
+                break
+            wantc += 1
+            start = i + 1
+    assert got == wantc, (target, got, wantc)
