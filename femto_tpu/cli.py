@@ -30,8 +30,15 @@ import numpy as np
 
 
 def _load_index(path: str):
+    import os
+
     from .fmindex import FMIndex
 
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "multi.json")):
+        from .multi import MultiIndex
+
+        return MultiIndex.load(path)
     return FMIndex.load(path)
 
 
@@ -46,13 +53,24 @@ def cmd_index(args) -> int:
         prepared = read_corpus(args.input, max_bytes=args.max_bytes)
     print(f"read {prepared.num_docs} docs, {prepared.n} symbols",
           file=sys.stderr)
-    index = build_index(prepared, seg=args.seg, mark_period=args.mark_period,
-                        compact=args.compact, doc_chunks=args.doc_chunks,
-                        tier=args.tier)
-    if args.out.endswith(".ftpu"):
-        index.save_flat(args.out)
+    kw = dict(seg=args.seg, mark_period=args.mark_period,
+              compact=args.compact, doc_chunks=args.doc_chunks,
+              tier=args.tier)
+    from .multi import MAX_CHUNK_SYMBOLS, build_chunked_prepared
+
+    if prepared.n > MAX_CHUNK_SYMBOLS:
+        # >2^31-symbol corpora: per-chunk int32 row ids, global int64
+        # doc ids/offsets (reference: 39-bit offsets, index_tool.cc:45)
+        mi = build_chunked_prepared(prepared, **kw)
+        mi.save(args.out)
+        print(f"chunked into {len(mi.indexes)} sub-indexes",
+              file=sys.stderr)
     else:
-        index.save(args.out)
+        index = build_index(prepared, **kw)
+        if args.out.endswith(".ftpu"):
+            index.save_flat(args.out)
+        else:
+            index.save(args.out)
     dt = time.time() - t0
     print(f"indexed {prepared.n/1e6:.2f}M symbols in {dt:.1f}s "
           f"({prepared.n/dt/1e6:.2f} MB/s) -> {args.out}", file=sys.stderr)
@@ -65,10 +83,12 @@ def cmd_search(args) -> int:
     from .query.engine import count_query, docs_query, find_strings
 
     paths = args.index.split(",")
-    if len(paths) > 1:
-        from .multi import MultiIndex
+    loaded_single = _load_index(paths[0]) if len(paths) == 1 else None
+    from .multi import MultiIndex
 
-        mi = MultiIndex([_load_index(p) for p in paths])
+    if len(paths) > 1 or isinstance(loaded_single, MultiIndex):
+        mi = (loaded_single if loaded_single is not None
+              else MultiIndex([_load_index(p) for p in paths]))
         for query in args.query:
             if args.count:
                 print(f"{mi.count_query(query)} {query}")
@@ -84,7 +104,7 @@ def cmd_search(args) -> int:
                         print(info.decode("utf-8", "replace"))
         return 0
 
-    index = _load_index(args.index)
+    index = loaded_single
     out_json = []
     for query in args.query:
         if args.grep:

@@ -412,8 +412,10 @@ def build_index(
         raise ValueError("compact/packed tiers require device_build=True")
     if n >= 2**31:
         raise ValueError(
-            "single-index corpora are limited to 2^31 symbols; use "
-            "femto_tpu.multi.build_chunked or the sharded builder"
+            "single-index corpora are limited to 2^31 symbols (int32 row "
+            "ids); use femto_tpu.multi.build_chunked_prepared, which "
+            "composes per-chunk int32 indexes into global int64 results "
+            "(the CLI `index` command does this automatically)"
         )
     if checkpoint_dir is not None and sa is None:
         ckpt_path = os.path.join(checkpoint_dir, f"sa_{n}.npy")

@@ -22,8 +22,14 @@ class MultiIndex:
     """A list of FMIndexes presented as one corpus; doc ids are offset by
     each shard's base."""
 
-    def __init__(self, indexes: Sequence[FMIndex]):
-        self.indexes = list(indexes)
+    def __init__(self, indexes: Sequence):
+        flat: List[FMIndex] = []
+        for ix in indexes:
+            if isinstance(ix, MultiIndex):
+                flat.extend(ix.indexes)
+            else:
+                flat.append(ix)
+        self.indexes = flat
         self.doc_base = np.cumsum(
             [0] + [ix.num_docs for ix in self.indexes]
         )
@@ -88,6 +94,32 @@ class MultiIndex:
         return len(self.docs_query(query, with_offsets=False))
 
 
+    # ---- persistence: a directory of per-chunk indexes + manifest ----
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        names = []
+        for i, ix in enumerate(self.indexes):
+            name = f"chunk{i:05d}"
+            ix.save(os.path.join(path, name))
+            names.append(name)
+        with open(os.path.join(path, "multi.json"), "w") as f:
+            json.dump({"chunks": names}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "MultiIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "multi.json")) as f:
+            manifest = json.load(f)
+        return cls([FMIndex.load(os.path.join(path, c))
+                    for c in manifest["chunks"]])
+
+
 def build_chunked(docs: Sequence[bytes], chunk_docs: int,
                   **build_kwargs) -> MultiIndex:
     """Build a MultiIndex by splitting the corpus into per-chunk indexes —
@@ -100,6 +132,47 @@ def build_chunked(docs: Sequence[bytes], chunk_docs: int,
     for i in range(0, len(docs), chunk_docs):
         prepared = prepare_documents(docs[i : i + chunk_docs])
         indexes.append(build_index(prepared, **build_kwargs))
+    return MultiIndex(indexes)
+
+
+# Largest single-index chunk: int32 row ids must hold n plus slack.
+MAX_CHUNK_SYMBOLS = 2**31 - 2**24
+
+
+def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
+                           **build_kwargs) -> MultiIndex:
+    """Build a MultiIndex from one PreparedText, splitting at document
+    boundaries so each chunk stays under max_chunk_symbols.
+
+    This is the >2^31-symbol path (the reference handles 512 GiB texts with
+    39-bit offsets, index_tool.cc:45-46): per-chunk row ids stay int32 on
+    device, while doc ids and offsets compose to global int64 on the host —
+    exactly the per-shard-int32 / int64-composition scheme of SURVEY §7."""
+    from .alphabet import PreparedText
+    from .fmindex import build_index
+
+    starts = prepared.doc_starts
+    ndocs = prepared.num_docs
+    indexes = []
+    d0 = 0
+    while d0 < ndocs:
+        base = int(starts[d0])
+        d1 = d0 + 1
+        while d1 < ndocs and int(starts[d1 + 1]) - base <= max_chunk_symbols:
+            d1 += 1
+        if int(starts[d1]) - base > max_chunk_symbols:
+            raise ValueError(
+                f"document {d0} alone exceeds max_chunk_symbols"
+            )
+        sub = PreparedText(
+            text=prepared.text[base: int(starts[d1])],
+            doc_starts=(starts[d0: d1 + 1] - base),
+            infos=list(prepared.infos[d0: d1]),
+            header_lens=(None if prepared.header_lens is None
+                         else prepared.header_lens[d0: d1]),
+        )
+        indexes.append(build_index(sub, **build_kwargs))
+        d0 = d1
     return MultiIndex(indexes)
 
 
