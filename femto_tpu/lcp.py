@@ -1,29 +1,153 @@
 """LCP arrays and the suffix-analysis application family.
 
 Counterparts of the reference's Chapel application layer
-(/root/reference/src/ssort_chpl/): computeSuffixArrayAndLCP + sparse PLCP
-(SuffixSort.chpl:125-160), FindUnique (minimal unique substrings per
-position, FindUnique.chpl), ExtractUniqueKmers, and SuffixSimilarity
-(block-LCP common-substring scoring, SuffixSimilarity.chpl).
+(/root/reference/src/ssort_chpl/): computeSuffixArrayAndLCP + parallel
+(sparse) PLCP (SuffixSort.chpl:125-160, SuffixSortImpl.chpl:3130+),
+FindUnique (minimal unique substrings per position, FindUnique.chpl),
+ExtractUniqueKmers, and SuffixSimilarity (block-LCP common-substring
+scoring, SuffixSimilarity.chpl).
 
-LCP itself is Kasai's O(n) pass — inherently sequential, so it runs in the
-native C++ library (ft_kasai) with a numpy fallback; everything downstream
-(unique lengths, kmer extraction, similarity scoring) is vectorized.
+The TPU LCP is NOT Kasai's sequential pass: all pairs (suffix, SA
+predecessor) are compared in parallel with geometrically growing windows
+and lane compaction — a lane leaves after its first mismatching window, so
+total work is O(sum of LCP values / window) with O(log maxLCP) rounds.
+Average-case text (LCP ~ tens) finishes in 1-2 rounds of two contiguous
+gathers each.  Small inputs fall back to the native C++ Kasai (ft_kasai) /
+numpy host pass.
 """
 
 from __future__ import annotations
 
 import ctypes
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from .alphabet import PreparedText
 
+# Below this size the host Kasai pass beats device dispatch overhead.
+_DEVICE_LCP_MIN_N = 1 << 17
 
-def lcp_array(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """lcp[r] = LCP of suffixes SA[r-1], SA[r]; lcp[0] = 0."""
+
+def _lcp_round_jit():
+    """Lazily-built jitted round (keeps jax import out of module import)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("W",))
+    def round_fn(text, i_pos, j_pos, h, valid, W):
+        n = text.shape[0]
+        ii = (i_pos + h)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        jj = (j_pos + h)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        wi = jnp.where(ii < n, text[jnp.minimum(ii, n - 1)], -1)
+        wj = jnp.where(jj < n, text[jnp.minimum(jj, n - 1)], -2)
+        eq = (wi == wj) & valid[:, None]
+        ml = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+        return h + ml, valid & (ml == W)
+
+    return round_fn
+
+
+@functools.lru_cache(maxsize=1)
+def _round_cached():
+    return _lcp_round_jit()
+
+
+def _compact_lanes_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("B_out", "M_out"))
+    def compact(out, i_pos, j_pos, h, act, orig, *, B_out, M_out):
+        out = out.at[jnp.where(~act & (orig < B_out), orig, B_out)].set(
+            h, mode="drop"
+        )
+        pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+        tgt = jnp.where(act, jnp.minimum(pos, M_out - 1), M_out)
+
+        def comp(x, fill):
+            return (
+                jnp.full((M_out + 1,), fill, jnp.int32)
+                .at[tgt].set(x, mode="drop")[:M_out]
+            )
+
+        return (out, comp(i_pos, 0), comp(j_pos, 0), comp(h, 0),
+                comp(orig, B_out))
+
+    return compact
+
+
+@functools.lru_cache(maxsize=1)
+def _compact_cached():
+    return _compact_lanes_jit()
+
+
+def _bucket(x: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < x:
+        b *= 2
+    return b
+
+
+def batch_lcp_device(text_dev, i_np: np.ndarray, j_np: np.ndarray,
+                     valid_np: np.ndarray) -> np.ndarray:
+    """LCP of suffix pairs (i, j), batched on device.  Invalid lanes get 0.
+
+    Windowed compare: W symbols per round (two contiguous gathers), lanes
+    with a mismatch resolve and compact away, W doubles up to 4096 — the
+    parallel replacement for Kasai's sequential h-reuse."""
+    import jax.numpy as jnp
+
+    B = len(i_np)
+    if B == 0:
+        return np.zeros(0, np.int32)
+    round_fn = _round_cached()
+    compact_fn = _compact_cached()
+    Bp = _bucket(B)
+    i_c = jnp.asarray(np.concatenate(
+        [i_np.astype(np.int32), np.zeros(Bp - B, np.int32)]))
+    j_c = jnp.asarray(np.concatenate(
+        [j_np.astype(np.int32), np.zeros(Bp - B, np.int32)]))
+    act = jnp.asarray(np.concatenate(
+        [valid_np.astype(bool), np.zeros(Bp - B, bool)]))
+    h = jnp.zeros((Bp,), jnp.int32)
+    orig = jnp.arange(Bp, dtype=jnp.int32)
+    out = jnp.zeros((Bp,), jnp.int32)
+    W = 32
+    while True:
+        h, act = round_fn(text_dev, i_c, j_c, h, act, W)
+        m = int(jnp.sum(act.astype(jnp.int32)))
+        M_out = _bucket(max(m, 1))
+        out, i_c, j_c, h, orig = compact_fn(
+            out, i_c, j_c, h, act, orig, B_out=Bp, M_out=M_out
+        )
+        if m == 0:
+            break
+        act = jnp.arange(M_out) < m
+        W = min(W * 2, 4096)
+    return np.asarray(out)[:B]
+
+
+def lcp_array(text: np.ndarray, sa: np.ndarray,
+              device: Optional[bool] = None) -> np.ndarray:
+    """lcp[r] = LCP of suffixes SA[r-1], SA[r]; lcp[0] = 0.
+
+    device=None picks the parallel device path for large inputs and the
+    native/host Kasai pass for small ones."""
     n = len(text)
+    if device is None:
+        device = n >= _DEVICE_LCP_MIN_N
+    if device and n:
+        import jax.numpy as jnp
+
+        sa_np = np.asarray(sa, dtype=np.int32)
+        text_dev = jnp.asarray(np.ascontiguousarray(text, np.int32))
+        i_np = sa_np.copy()
+        j_np = np.concatenate([sa_np[:1], sa_np[:-1]])
+        valid = np.ones(n, bool)
+        valid[0] = False
+        return batch_lcp_device(text_dev, i_np, j_np, valid)
     text = np.ascontiguousarray(text, dtype=np.uint16)
     sa32 = np.ascontiguousarray(sa, dtype=np.int32)
     out = np.zeros(n, dtype=np.int32)
@@ -67,12 +191,28 @@ def _kasai_np(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
 def sparse_plcp(text: np.ndarray, sa: np.ndarray, q: int = 64) -> np.ndarray:
     """Sampled PLCP (Kärkkäinen): plcp values at positions 0, q, 2q, ...
     The full PLCP can be reconstructed within q of a sample
-    (computeSparsePLCP, SuffixSort.chpl:143)."""
-    lcp = lcp_array(text, sa)
+    (computeSparsePLCP, SuffixSort.chpl:143, SuffixSortImpl.chpl:3130+).
+
+    Computes ONLY the n/q sampled values: plcp[i] = lcp(T[i..], T[phi(i)..])
+    with phi(i) = SA[ISA[i]-1], each pair compared by the parallel windowed
+    batch — never materializing the full LCP array (the round-1 version
+    ran a full sequential Kasai pass first)."""
+    import jax.numpy as jnp
+
     n = len(text)
-    plcp = np.zeros(n, dtype=np.int32)
-    plcp[np.asarray(sa, dtype=np.int64)] = lcp
-    return plcp[::q].copy()
+    if n == 0:
+        return np.zeros(0, np.int32)
+    sa_np = np.asarray(sa, dtype=np.int64)
+    isa = np.empty(n, dtype=np.int64)
+    isa[sa_np] = np.arange(n, dtype=np.int64)
+    pos = np.arange(0, n, q, dtype=np.int64)
+    r = isa[pos]
+    valid = r > 0
+    phi = sa_np[np.maximum(r - 1, 0)]
+    text_dev = jnp.asarray(np.ascontiguousarray(text, np.int32))
+    return batch_lcp_device(
+        text_dev, pos.astype(np.int32), phi.astype(np.int32), valid
+    )
 
 
 def unique_lengths(prepared: PreparedText, sa: np.ndarray,

@@ -96,3 +96,41 @@ def test_suffix_similarity():
     sim = suffix_similarity(prepared, sa, min_lcp=4)
     assert (0, 1) in sim and sim[(0, 1)] > 0
     assert (0, 2) not in sim and (1, 2) not in sim
+
+
+def test_device_lcp_parity(rng):
+    """The parallel windowed-compare LCP must equal host Kasai, including
+    long-run corpora that force several window-doubling rounds."""
+    from femto_tpu.lcp import _kasai_np, lcp_array
+
+    for docs in [
+        [bytes(rng.integers(97, 101, size=3000).astype(np.uint8))],
+        [b"a" * 500 + b"b" + b"a" * 300],            # LCPs in the hundreds
+        [bytes(rng.integers(0, 256, size=2000).astype(np.uint8)),
+         b"banana banana banana"],
+    ]:
+        prepared = ft.prepare_documents(docs)
+        sa = np.asarray(ft.suffix_array(
+            np.asarray(prepared.text, dtype=np.int32)))
+        want = _kasai_np(prepared.text.astype(np.uint16),
+                         sa.astype(np.int32))
+        got = lcp_array(prepared.text, sa, device=True)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sparse_plcp_no_full_pass(rng):
+    """sparse_plcp computes only sampled values; parity vs the full-array
+    reconstruction."""
+    from femto_tpu.lcp import _kasai_np, sparse_plcp
+
+    docs = [bytes(rng.integers(97, 103, size=5000).astype(np.uint8))]
+    prepared = ft.prepare_documents(docs)
+    sa = np.asarray(ft.suffix_array(
+        np.asarray(prepared.text, dtype=np.int32)))
+    lcp = _kasai_np(prepared.text.astype(np.uint16), sa.astype(np.int32))
+    n = prepared.n
+    plcp_full = np.zeros(n, np.int32)
+    plcp_full[sa] = lcp
+    for q in (16, 64):
+        got = sparse_plcp(prepared.text, sa, q=q)
+        np.testing.assert_array_equal(got, plcp_full[::q])
