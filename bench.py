@@ -154,7 +154,7 @@ def main():
     log(f"backward search: {sps/1e6:.2f}M steps/s/chip "
         f"({dt/iters*1e3:.1f} ms per {B}x{P} batch)")
 
-    # --- locate ---
+    # --- locate (lockstep walk, deferred mark-value resolution) ---
     LB = int(os.environ.get("BENCH_LOCATE_BATCH", "65536"))
     rows = jnp.asarray(rng.integers(0, n, size=LB).astype(np.int32))
 

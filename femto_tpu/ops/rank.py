@@ -112,9 +112,13 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
 def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
     """occ for dense codes; cd < 0 counts nothing."""
     seg = seg_size(arrays)
+    n_rows_total = arrays.bwt.shape[0] * seg
     valid = cd >= 0
     cc = jnp.where(valid, cd, 0)
-    s = r // seg
+    # r == n_rows_total happens for padded sharded indexes (row space fills
+    # every segment exactly): occ(c, n_rows) = total count = C[c+1] - C[c]
+    at_end = r >= n_rows_total
+    s = jnp.minimum(r // seg, arrays.bwt.shape[0] - 1)
     off = r - s * seg
     base = ckpt_base(arrays, s, cc)                  # [B] gather(s)
     segdata = gather_segments(arrays, s)             # [B, SEG]
@@ -122,7 +126,8 @@ def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
     within = jnp.sum(
         (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
-    return jnp.where(valid, base + within, 0)
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    return jnp.where(valid, jnp.where(at_end, total, base + within), 0)
 
 
 def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
@@ -210,11 +215,13 @@ def mark_value(arrays: FMArrays, r: jax.Array) -> jax.Array:
     return arrays.mark_vals[mark_rank(arrays, r)]
 
 
-def lf_mark_step(arrays: FMArrays, r: jax.Array):
+def lf_grank_step(arrays: FMArrays, r: jax.Array):
     """Fused locate step: one segment gather serves both the BWT symbol
     read and the in-segment occurrence count, alongside the mark bitmap
-    lookups.  Returns (lf_row, is_marked, mark_val) — 4 gather rows per
-    step instead of 6 (see PERF.md: gather rows are the locate budget)."""
+    lookups.  Returns (lf_row, is_marked, mark_rank) — the mark VALUE
+    gather is deferred to one batched lookup after the walk (callers do
+    mark_vals[grank]), cutting a gather stream from every loop iteration
+    (gather rows are the locate budget, PERF.md)."""
     seg = seg_size(arrays)
     words_per_seg = seg // 32
     s = r // seg
@@ -239,5 +246,10 @@ def lf_mark_step(arrays: FMArrays, r: jax.Array):
     pmask = (jnp.uint32(1) << (r % 32).astype(jnp.uint32)) - jnp.uint32(1)
     part = jax.lax.population_count(word & pmask).astype(jnp.int32)
     grank = arrays.mark_ckpt[s] + cnt + part
-    mv = arrays.mark_vals[grank]
-    return lf, bit, mv
+    return lf, bit, grank
+
+
+def lf_mark_step(arrays: FMArrays, r: jax.Array):
+    """lf_grank_step + immediate mark-value resolution (legacy wrapper)."""
+    lf, bit, grank = lf_grank_step(arrays, r)
+    return lf, bit, arrays.mark_vals[grank]

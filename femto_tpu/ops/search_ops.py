@@ -80,30 +80,35 @@ def locate_rows(arrays: FMArrays, mark_period: int, rows: jax.Array):
 
     The reference's locate (server.c:2228 back_query + LOCATE logic,
     §3.3 of SURVEY.md): walk LF until the current row is marked; offset =
-    sampled value + steps walked.  All B rows walk in lockstep; finished
-    lanes idle.  Max steps = mark_period (doc starts are always marked).
+    sampled value + steps walked.  All B rows walk in lockstep; the mark
+    VALUE lookup happens once after the walk (grank recorded at hit time).
+    Max steps = mark_period (doc starts are always marked).  For large
+    batches prefer search.locate_rows_compact (drops finished lanes).
     """
     B = rows.shape[0]
 
     def cond(st):
-        i, rows, offs, done = st
+        i, rows, granks, steps, done = st
         return (i <= mark_period) & jnp.any(~done)
 
     def body(st):
-        i, rows, offs, done = st
-        nxt, bit, mv = R.lf_mark_step(arrays, rows)
+        i, rows, granks, steps, done = st
+        nxt, bit, grank = R.lf_grank_step(arrays, rows)
         is_m = bit & (~done)
-        offs = jnp.where(is_m, mv + i, offs)
+        granks = jnp.where(is_m, grank, granks)
+        steps = jnp.where(is_m, i, steps)
         done = done | is_m
         rows = jnp.where(done, rows, nxt)
-        return i + 1, rows, offs, done
+        return i + 1, rows, granks, steps, done
 
-    offs0 = jnp.full(B, -1, dtype=jnp.int32)
+    granks0 = jnp.zeros(B, dtype=jnp.int32)
+    steps0 = jnp.full(B, -1, dtype=jnp.int32)
     done0 = jnp.zeros(B, dtype=bool)
-    _, _, offs, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), rows, offs0, done0)
+    _, _, granks, steps, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rows, granks0, steps0, done0)
     )
-    return offs
+    offs = arrays.mark_vals[granks] + steps
+    return jnp.where(done, offs, -1)
 
 
 def extract_backward(arrays: FMArrays, rows: jax.Array, num_steps: int):

@@ -107,7 +107,8 @@ def locate_range(
     rows = np.full(Bp, 0, dtype=np.int32)
     rows[:m] = np.arange(first, first + m, dtype=np.int32)
     offs = _locate_jit(
-        index.arrays, index.meta.n, index.meta.mark_period, jnp.asarray(rows)
+        index.arrays, index.meta.n, index.meta.mark_period,
+        jnp.asarray(rows),
     )
     return np.asarray(offs)[:m].astype(np.int64)
 
@@ -233,7 +234,8 @@ def locate_rows_array(index: FMIndex, rows: np.ndarray) -> np.ndarray:
     rr = np.zeros(Bp, dtype=np.int32)
     rr[:m] = rows
     offs = _locate_jit(
-        index.arrays, index.meta.n, index.meta.mark_period, jnp.asarray(rr)
+        index.arrays, index.meta.n, index.meta.mark_period,
+        jnp.asarray(rr),
     )
     return np.asarray(offs)[:m].astype(np.int64)
 

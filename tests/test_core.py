@@ -144,3 +144,23 @@ def test_pattern_longer_than_docs(small_index):
     docs, index = small_index
     long_pat = b"x" * 2000
     assert int(ft.count(index, [long_pat])[0]) == 0
+
+
+def test_locate_deferred_grank_parity(rng):
+    """Deferred mark-value resolution must agree with per-step resolution
+    (lf_mark_step) across every row."""
+    import jax.numpy as jnp
+    from femto_tpu.search import _locate_jit
+
+    docs = [bytes(rng.integers(97, 105, size=4000).astype(np.uint8))
+            for _ in range(5)]
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=20)
+    n = index.meta.n
+    rows = np.arange(-(-n // 256) * 256, dtype=np.int32) % n
+    got = np.asarray(_locate_jit(index.arrays, n, 20, jnp.asarray(rows)))
+    # locating all rows yields exactly the suffix array (a permutation)
+    assert len(np.unique(got[:n])) == n
+    sa = np.asarray(ft.suffix_array(
+        jnp.asarray(prepared.text.astype(np.int32))))
+    np.testing.assert_array_equal(got[:n], sa)
