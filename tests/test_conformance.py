@@ -71,8 +71,8 @@ def test_count_conformance(conformance_index):
 def test_locate_conformance(conformance_index):
     docs, index, rng = conformance_index
     queries = gen_queries(docs, rng)
-    # locate is slower; check a subset incl. every doc-derived probe
-    for q in queries[::3]:
+    # offsets checked on EVERY query (test.pl:173-230 checks all)
+    for q in queries:
         got = ft.locate(index, q, max_matches=None)
         want = naive_locate(docs, q)
         assert got == want, (q, got[:10], want[:10])
