@@ -228,6 +228,83 @@ def _backward_search_routed_body(arrays: FMArrays, pats_local: jax.Array,
     return first, last, jax.lax.pmax(of, axis)
 
 
+def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
+                        key: jax.Array, *, mark_period: int,
+                        nseg_local: int, cap: int, axis: str):
+    """Owner-routed sharded locate: each shard owns B/D lanes; every LF
+    step routes each lane's row to its owning shard, which answers with
+    (lf_row, is_marked, mark_value) from purely local arrays (the shard
+    that owns a row also owns its mark_vals entry).  Returns
+    (offsets, overflow)."""
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    B_local = rows_local.shape[0]
+    seg = arrays.bwt.shape[1]
+    rows_per_shard = nseg_local * seg
+    mv_local = arrays.mark_vals.shape[0]
+    rid_local = me * B_local + jnp.arange(B_local, dtype=jnp.int32)
+
+    def owner_answer(r):
+        """(lf, marked, mark_val) for rows this shard owns."""
+        s = jnp.clip(r // seg, me * nseg_local,
+                     me * nseg_local + nseg_local - 1)
+        sl = s - me * nseg_local
+        off = r - s * seg
+        segdata = jnp.take(arrays.bwt, sl, axis=0).astype(jnp.int32)
+        c = segdata[jnp.arange(r.shape[0]), jnp.clip(off, 0, seg - 1)]
+        base = arrays.occ_ckpt[sl, c]
+        iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+        within = jnp.sum(
+            (segdata == c[:, None]) & (iota < off[:, None]), axis=1
+        ).astype(jnp.int32)
+        lf = arrays.C[c] + base + within
+        words = jnp.take(arrays.mark_bits, sl, axis=0)
+        w_local = jnp.clip(off, 0, seg - 1) // 32
+        word = words[jnp.arange(r.shape[0]), w_local]
+        bit = ((word >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+        widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+        full = jnp.where(widx < w_local[:, None], words, jnp.uint32(0))
+        cnt = jnp.sum(jax.lax.population_count(full), axis=1).astype(
+            jnp.int32)
+        pmask = ((jnp.uint32(1) << (r % 32).astype(jnp.uint32))
+                 - jnp.uint32(1))
+        part = jax.lax.population_count(word & pmask).astype(jnp.int32)
+        grank = arrays.mark_ckpt[sl] + cnt + part
+        mv = arrays.mark_vals[jnp.clip(grank - arrays.mark_ckpt[0],
+                                       0, mv_local - 1)]
+        return lf, bit, mv
+
+    def body(i, st):
+        rows, offs, done, of = st
+        kkey = jax.random.fold_in(key, i)
+        dest = jnp.minimum(rows // rows_per_shard, D - 1)
+        recs, v, of1 = bins.valiant_exchange(
+            dest, [rows, rid_local], cap, axis, kkey
+        )
+        lf, bit, mv = owner_answer(jnp.where(v, recs[0], me * rows_per_shard))
+        ans = jnp.where(bit, mv, -1 - lf)   # >=0: offset; <0: next row
+        back, v2, of2 = bins.valiant_exchange(
+            recs[1] // B_local, [recs[1], ans], cap, axis,
+            jax.random.fold_in(kkey, 1), valid=v,
+        )
+        slot = jnp.where(v2, back[0] - me * B_local, B_local)
+        a = jnp.zeros((B_local,), jnp.int32).at[slot].set(
+            back[1], mode="drop")
+        hit = (a >= 0) & (~done)
+        offs = jnp.where(hit, a + i, offs)
+        done = done | hit
+        rows = jnp.where(done, rows, -1 - a)
+        of = jnp.maximum(of, jnp.maximum(of1, of2))
+        return rows, offs, done, of
+
+    offs0, done0, of0 = jax.lax.pvary(
+        (jnp.full(B_local, -1, dtype=jnp.int32),
+         jnp.zeros(B_local, dtype=bool), jnp.int32(0)), (axis,))
+    _, offs, _, of = jax.lax.fori_loop(
+        0, mark_period + 1, body, (rows_local, offs0, done0, of0))
+    return offs, jax.lax.pmax(of, axis)
+
+
 def _specs_for_arrays(axis: str):
     """PartitionSpecs matching build_index_sharded's placement."""
     return FMArrays(
@@ -311,7 +388,15 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
 
 
 def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
-                   axis: str = DEFAULT_AXIS):
+                   axis: str = DEFAULT_AXIS,
+                   routed: bool = True,
+                   cap_factor: float = 6.0,
+                   max_retries: int = 3,
+                   seed: int = 0):
+    """Locate rows against a mesh-sharded index.  routed=True (default)
+    partitions the lanes and routes every LF step's request to the row's
+    owning shard (per-shard gather load ~B/D); retries with larger exchange
+    capacity on hot-row skew and falls back to the masked-psum walk."""
     meta: FMMeta = index.meta
     if index.arrays.occ_ckpt.dtype != jnp.int32:
         raise ValueError(
@@ -320,6 +405,31 @@ def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
         )
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
+    rows = np.asarray(rows)
+    if routed:
+        B = rows.shape[0]
+        Bp = -(-B // D) * D
+        rr = np.zeros(Bp, np.int32)
+        rr[:B] = rows
+        B_local = Bp // D
+        cap = max(16, int(np.ceil(cap_factor * B_local / D)))
+        for attempt in range(max_retries):
+            fn = functools.partial(
+                _locate_routed_body, mark_period=meta.mark_period,
+                nseg_local=nseg_local, cap=min(cap, Bp), axis=axis,
+            )
+            mapped = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(_specs_for_arrays(axis), P(axis), P()),
+                out_specs=(P(axis), P()),
+            )
+            offs, of = jax.jit(mapped)(
+                index.arrays, jnp.asarray(rr),
+                jax.random.PRNGKey(seed + attempt),
+            )
+            if int(jax.device_get(of)) <= 0:
+                return offs[:B]
+            cap *= 4
     fn = functools.partial(
         _locate_body, mark_period=meta.mark_period,
         nseg_local=nseg_local, axis=axis,

@@ -267,3 +267,22 @@ def test_dist_build_checkpoint_resume(mesh, tmp_path, rng):
         np.asarray(ft.count(ix1, pats)), np.asarray(ft.count(ix2, pats)))
     for p in pats:
         assert int(ft.count(ix1, [p])[0]) == naive_count(docs, p)
+
+
+def test_routed_locate_parity(sharded_index, mesh):
+    """Owner-routed locate must match the masked-psum walk and ground
+    truth."""
+    docs, index = sharded_index
+    packed, _ = pack_patterns([pattern_to_alpha(b"a")])
+    first, last = sharded_backward_search(index, mesh, packed)
+    f, l = int(np.asarray(first)[0]), int(np.asarray(last)[0])
+    rows = np.arange(f, l, dtype=np.int32)
+    pad = (-len(rows)) % 8
+    rowsp = np.concatenate([rows, np.full(pad, f, np.int32)])
+    o_r = np.asarray(sharded_locate(index, mesh, rowsp, routed=True))
+    o_p = np.asarray(sharded_locate(index, mesh, rowsp, routed=False))
+    np.testing.assert_array_equal(o_r[: l - f], o_p[: l - f])
+    doc, doc_off = ft.offsets_to_docs(index,
+                                      o_r[: l - f].astype(np.int64))
+    got = sorted(zip(doc.tolist(), doc_off.tolist()))
+    assert got == naive_locate(docs, b"a")
