@@ -31,6 +31,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: cold-bench compile times collapse on
+    # re-runs across processes (the remote-compile tunnel makes first
+    # compiles minutes-long; the cache makes them one-time per machine).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import femto_tpu as ft
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
     from femto_tpu.fmindex import FMIndex, FMMeta

@@ -45,11 +45,20 @@ def _bucket_anchored(m: int, n: int) -> int:
     return M
 
 
+def _m0_for(n: int) -> int:
+    """Static capacity of the fused slot compaction: the n/16 anchor."""
+    n_pow2 = 1 << max((n - 1).bit_length(), _MIN_BUCKET.bit_length() - 1)
+    return max(n_pow2 // 16, _MIN_BUCKET)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _initial_sort(text, *, n):
     """9-symbol pack sort (three 27-bit keys).  Returns (sa, rank,
-    unresolved, m) where rank is by text position and holds the group's
-    base slot, and unresolved[slot] marks slots in groups of size > 1."""
+    unresolved, slots0, m) where rank is by text position and holds the
+    group's base slot, unresolved[slot] marks slots in groups of size > 1,
+    and slots0 is those slots pre-compacted to the static n/16 bucket
+    (saving a separate O(n) compaction pass when — as on real text after a
+    9-symbol sort — few slots stay unresolved)."""
     t = text.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -72,7 +81,14 @@ def _initial_sort(text, *, n):
     rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
     nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
     unresolved = ~(st & nxt_st)
-    return perm, rank, unresolved, jnp.sum(unresolved.astype(jnp.int32))
+    M0 = _m0_for(n)
+    pos = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    tgt = jnp.where(unresolved, jnp.minimum(pos, M0 - 1), M0)
+    slots0 = (
+        jnp.full((M0 + 1,), n, jnp.int32).at[tgt].set(idx, mode="drop")[:M0]
+    )
+    return (perm, rank, unresolved, slots0,
+            jnp.sum(unresolved.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -160,7 +176,7 @@ def suffix_array(text: jax.Array) -> jax.Array:
 
     dbg = os.environ.get("FEMTO_TPU_SA_DEBUG", "") != ""
     t0 = _time.perf_counter()
-    sa, rank, unresolved, m_dev = _initial_sort(text, n=n)
+    sa, rank, unresolved, slots0, m_dev = _initial_sort(text, n=n)
     m = int(m_dev)
     if dbg:
         print(f"  sa: initial sort {_time.perf_counter()-t0:.2f}s "
@@ -168,6 +184,10 @@ def suffix_array(text: jax.Array) -> jax.Array:
     k = 9
     slots = None
     M = 0
+    if 0 < m <= _m0_for(n):
+        # the fused compaction already holds the slots (ascending prefix)
+        M = min(_bucket_anchored(m, n), _m0_for(n))
+        slots = slots0[:M]
     while m > 0 and k < 2 * n:
         t1 = _time.perf_counter()
         if slots is None and m > n // 4:
