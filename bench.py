@@ -31,17 +31,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Persistent compilation cache: cold-bench compile times collapse on
-    # re-runs across processes (the remote-compile tunnel makes first
-    # compiles minutes-long; the cache makes them one-time per machine).
-    try:
+    # Persistent compilation cache (opt-in: wedges the axon remote-compile
+    # tunnel, so only enable where the backend supports it).
+    if os.environ.get("FEMTO_TPU_COMPILE_CACHE"):
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     import femto_tpu as ft
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
