@@ -43,7 +43,7 @@ def main():
     import femto_tpu as ft
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
     from femto_tpu.fmindex import FMIndex, FMMeta
-    from femto_tpu.ops.build_ops import build_fm_arrays_device
+    from femto_tpu.ops.build_ops import build_fm_arrays_device, build_sa_payload
     from femto_tpu.ops.search_ops import backward_search, locate_rows
 
     mb = float(os.environ.get("BENCH_MB", "16"))
@@ -85,28 +85,33 @@ def main():
     text_dev.block_until_ready()
     log("corpus synthesized on device")
 
-    # --- suffix array: cold (compile) then steady with a hard barrier ---
+    # --- suffix array (fused BWT payload): cold then steady ---
+    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
+
     def sa_barrier():
-        sa = ft.suffix_array(text_dev)
-        return sa, int(jnp.sum(sa & 1))
+        payload = build_sa_payload(
+            text_dev, doc_starts_dev, n=n, mark_period=mark_period,
+            ndocs=ndocs,
+        )
+        sa, pull = ft.suffix_array(text_dev, payload=payload)
+        jax.block_until_ready((sa, pull))
+        return sa, pull
 
     t0 = time.perf_counter()
-    sa, _ = sa_barrier()
+    sa, pull = sa_barrier()
     t_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sa, _ = sa_barrier()
+    sa, pull = sa_barrier()
     t_sa = time.perf_counter() - t0
     log(f"suffix array: {t_sa:.2f}s steady ({mb / t_sa:.2f} MiB/s on-device; "
         f"cold incl. compile {t_cold:.2f}s)")
 
     # --- index packaging on device ---
-    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
-
     def build_barrier():
         arrays, n_marks, _ = build_fm_arrays_device(
             text_dev, sa, doc_starts_dev,
             n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
-            tier=tier,
+            tier=tier, pull=pull,
         )
         jax.block_until_ready(arrays)
         return arrays, int(n_marks)

@@ -429,22 +429,36 @@ def build_index(
             os.makedirs(checkpoint_dir, exist_ok=True)
             np.save(ckpt_path, sa)
     if device_build:
-        from .ops.build_ops import build_fm_arrays_device
+        from .ops.build_ops import (
+            _FUSE_DOC_LIMIT, build_fm_arrays_device, build_sa_payload,
+        )
 
         text_dev = jnp.asarray(prepared.text.astype(np.int32))
-        sa_dev = (
-            suffix_array(text_dev) if sa is None
-            else jnp.asarray(np.asarray(sa, dtype=np.int32))
-        )
+        doc_starts_dev = jnp.asarray(prepared.doc_starts.astype(np.int32))
+        pull = None
+        if sa is None and prepared.num_docs < _FUSE_DOC_LIMIT:
+            # fused path: the suffix sort carries the BWT+aux word as a
+            # free payload operand, skipping the O(n) packaging gather
+            payload = build_sa_payload(
+                text_dev, doc_starts_dev, n=n, mark_period=mark_period,
+                ndocs=prepared.num_docs,
+            )
+            sa_dev, pull = suffix_array(text_dev, payload=payload)
+        else:
+            sa_dev = (
+                suffix_array(text_dev) if sa is None
+                else jnp.asarray(np.asarray(sa, dtype=np.int32))
+            )
         arrays, n_marks, alpha_used = build_fm_arrays_device(
             text_dev,
             sa_dev,
-            jnp.asarray(prepared.doc_starts.astype(np.int32)),
+            doc_starts_dev,
             n=n,
             seg=seg,
             mark_period=mark_period,
             ndocs=prepared.num_docs,
             tier=tier,
+            pull=pull,
         )
         meta = FMMeta(
             n=n,

@@ -28,7 +28,9 @@ from ..fmindex import FMArrays
 def mark_cap(n: int, ndocs: int, mark_period: int, seg: int) -> int:
     """Static upper bound on the number of marked rows."""
     if mark_period == 0:
-        base = 1
+        # no sampled marks, but the SEOF-row compaction in _marks_finish
+        # still needs room for the per-doc tag rows in its sorted prefix
+        base = 2 * ndocs + 2
     else:
         base = n // mark_period + 2 * ndocs + 2
     return -(-base // 128) * 128
@@ -64,6 +66,31 @@ def _aux_positions(doc_starts, *, n, mark_period, ndocs):
 
 # aux co-packs with the 9-bit symbol in one int32 word iff the doc tag fits
 _FUSE_DOC_LIMIT = 1 << 21
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mark_period", "ndocs"))
+def build_sa_payload(text, doc_starts, *, n, mark_period, ndocs):
+    """Suffix-sort payload whose pull IS the fused BWT + aux word.
+
+    payload[p] = text[p-1 mod n] | aux[p] << 9, so suffix_array's
+    pull[r] = payload[sa[r]] = (BWT symbol, mark/SEOF aux of row r) — the
+    O(n) random gather of _bwt_aux_stage carried by the sort for free
+    (PERF.md round 2: sort payload operands are free)."""
+    aux = _aux_positions(doc_starts, n=n, mark_period=mark_period,
+                         ndocs=ndocs)
+    packed = text.astype(jnp.int32) | (jnp.roll(aux, -1) << 9)
+    return jnp.roll(packed, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_pad"))
+def _split_pull(pull, *, n, n_pad):
+    """(bwt uint16[n_pad], bwt_chars int32[n], a_row int32[n]) from the
+    sort-carried pull words."""
+    bwt_chars = pull & 511
+    a_row = pull >> 9
+    pad = jnp.full((n_pad - n,), INVALID_ALPHA, jnp.uint16)
+    bwt = jnp.concatenate([bwt_chars.astype(jnp.uint16), pad])
+    return bwt, bwt_chars, a_row
 
 
 @functools.partial(
@@ -213,17 +240,18 @@ def _aux_gather_stage(sa, doc_starts, *, n, mark_period, ndocs):
 )
 def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
     """Mark bitmap/checkpoints/values + per-doc SEOF rows from the row-order
-    aux words (no random access here — the gather already happened in
-    _bwt_aux_stage or _aux_gather_stage)."""
+    aux words (the random gather already happened in the suffix sort's
+    payload pull or in _bwt_aux_stage).
+
+    The mark-value compaction is a stable byte-key sort (marked rows to
+    the front, row order preserved) — measured ~2x cheaper than the n-row
+    scatter form on TPU — and the per-doc SEOF rows are read off the
+    compacted prefix (every SEOF row is marked, index_types.h:134-144),
+    replacing a second n-row scatter with a cap-row one."""
     n_seg = n_pad // seg
     idx = jnp.arange(n, dtype=jnp.int32)
     marked_sa = (a_row & 1) != 0
     row_tag = a_row >> 1
-    doc_seof_rows = (
-        jnp.zeros((ndocs + 1,), jnp.int32)
-        .at[jnp.where(row_tag > 0, row_tag - 1, ndocs)]
-        .set(idx, mode="drop")[:ndocs]
-    )
 
     marked_row = jnp.concatenate(
         [marked_sa, jnp.zeros((n_pad - n,), dtype=bool)]
@@ -240,15 +268,34 @@ def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
     ).astype(jnp.int32)
 
-    mrow = marked_sa
-    mrank = jnp.cumsum(mrow.astype(jnp.int32)) - mrow.astype(jnp.int32)
-    slot = jnp.where(mrow, jnp.minimum(mrank, cap - 1), cap)
-    mark_vals = (
-        jnp.full((cap + 1,), -1, jnp.int32)
-        .at[slot]
-        .set(sa.astype(jnp.int32), mode="drop", indices_are_sorted=True)[:cap]
+    # sort keys: 0 = marked row, 1 = unmarked SEOF row (mark_period=0 only
+    # — with sampling on, every SEOF row is marked, index_types.h:134-144),
+    # 2 = rest.  Marked rows form the exact prefix [0, n_marks); SEOF rows
+    # all land inside [0, n_front).
+    key = jnp.where(
+        marked_sa, 0, jnp.where(row_tag > 0, 1, 2)
+    ).astype(jnp.uint8)
+    _, rows = jax.lax.sort((key, idx), num_keys=1)
+    capn = min(cap, n)
+    rr = rows[:capn]
+    vals = sa[rr].astype(jnp.int32)
+    tags = row_tag[rr]
+    n_marks = jnp.sum(marked_sa.astype(jnp.int32))
+    n_front = n_marks + jnp.sum(
+        ((~marked_sa) & (row_tag > 0)).astype(jnp.int32)
     )
-    n_marks = jnp.sum(mrow.astype(jnp.int32))
+    lane = jnp.arange(capn, dtype=jnp.int32)
+    live = lane < n_marks
+    mark_vals = jnp.full((cap,), -1, jnp.int32)
+    mark_vals = jax.lax.dynamic_update_slice(
+        mark_vals, jnp.where(live, vals, -1), (0,)
+    )
+    live_tag = lane < n_front
+    doc_seof_rows = (
+        jnp.zeros((ndocs + 1,), jnp.int32)
+        .at[jnp.where(live_tag & (tags > 0), tags - 1, ndocs)]
+        .set(rr, mode="drop")[:ndocs]
+    )
     return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
 
 
@@ -263,13 +310,18 @@ def build_fm_arrays_device(
     ndocs: int,
     seg_multiple: int = 1,
     tier: str = "full",
+    pull: jax.Array | None = None,
 ) -> Tuple[FMArrays, jax.Array, int]:
     """Assemble FMArrays on device.
 
     Returns (arrays, n_marks scalar, alpha_used).  Tiers (FMArrays
     docstring): "full" (int32 absolute checkpoints), "compact" (uint16
     relative + int32 L1), "packed" (compact + dense per-index alphabet +
-    bit-packed BWT words)."""
+    bit-packed BWT words).
+
+    pull: optional int32[n] fused BWT+aux words carried through the suffix
+    sort (suffix_array(text, payload=build_sa_payload(...))); skips the
+    O(n) random gather entirely."""
     from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
@@ -287,7 +339,11 @@ def build_fm_arrays_device(
         n_seg = -(-n_seg // L1_GROUP) * L1_GROUP
     n_pad = n_seg * seg
 
-    if ndocs < _FUSE_DOC_LIMIT:
+    if pull is not None:
+        if ndocs >= _FUSE_DOC_LIMIT:
+            raise ValueError("fused pull requires ndocs < 2^21")
+        bwt, bwt_chars, a_row = _split_pull(pull, n=n, n_pad=n_pad)
+    elif ndocs < _FUSE_DOC_LIMIT:
         bwt, bwt_chars, a_row = _bwt_aux_stage(
             text, sa, doc_starts, n=n, n_pad=n_pad,
             mark_period=mark_period, ndocs=ndocs,

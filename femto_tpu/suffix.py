@@ -4,21 +4,29 @@ The reference builds suffix arrays with external-memory difference-cover
 (DCX) sorting over MPI bins (/root/reference/src/dcx_cc/dcx.hh:4038) or
 in-memory two-stage sorters (dcx_inmem.cc, two_stage.cc).  Those designs are
 disk/NIC-bound and branch-heavy; on TPU the right primitive is the global
-sort XLA emits for `lax.sort`, so we use prefix doubling (Manber-Myers)
-with **segment filtering** (Larsson-Sadakane style): after the initial
-6-symbol pack sort, each round re-sorts ONLY the slots whose rank groups
-are still unresolved.  Unresolved counts collapse geometrically on real
-text, so total work is a couple of full sorts instead of O(log n) of them —
-the work-complexity match for the reference's sample-based designs
-(ssort_chpl/SuffixSortImpl.chpl:2784), reached by filtering instead of
-difference covers because a filtered global sort is the shape XLA/TPU runs
-at full throughput.
+sort XLA emits for `lax.sort`.  Measured op costs (PERF.md round 2: sort
+probe) shape the design:
 
-Ranks use the "group base slot" convention (the first SA slot of the
-group), so refined subgroup ranks are computed with a cummax over the slot
-positions — no second pass.  Rounds are host-driven: the unresolved count
-m is pulled back per round (a scalar), and the working arrays are bucketed
-to powers of two so only a handful of shapes ever compile.
+* a 3-key global sort costs ~91 ms at n=16.8M and extra payload operands
+  are FREE, while num_keys=4/5 sorts are ~1.5x slower — so the initial
+  sort uses exactly 3 int32 keys, packed as densely as the corpus alphabet
+  allows (dense-remapped codes: 4-10 symbols per 30-bit key instead of 3);
+* n-row random gathers/scatters cost 120-190 ms — so the BWT pull rides
+  the sort as a payload operand, compactions are stable byte-key sorts
+  (~55 ms), and the common path never materializes the inverse
+  permutation (ISA) at all;
+* the residual unresolved groups (~1% of n on real text after a 12-18
+  symbol initial sort) are resolved by DIRECT KEY EXTENSION: gather the
+  next T packed words of each tied suffix and re-sort the tiny active
+  set — no rank array, no O(n) pass.  Pathological inputs (long repeats)
+  fall back to prefix doubling (Manber-Myers) with segment filtering,
+  which is O(log n) rounds and needs the ISA (built lazily, one scatter).
+
+Ranks, where used (fallback paths), follow the "group base slot"
+convention (the first SA slot of the group), so refined subgroup ranks are
+a cummax over slot positions.  Rounds are host-driven: the unresolved
+count m is pulled back per round (a scalar), and working arrays are
+bucketed to n/4^j anchors so only a handful of shapes ever compile.
 
 The distributed variant (sample-sort over a device mesh) lives in
 femto_tpu/parallel/dist_build.py.
@@ -33,6 +41,11 @@ import jax.numpy as jnp
 import numpy as np
 
 _MIN_BUCKET = 1 << 16
+_I32_MAX = np.int32(0x7FFFFFFF)
+_EXT_T = 4            # packed words gathered per direct-extension round
+_EXT_MAX_ROUNDS = 6   # then fall back to doubling
+_KEY_BITS = 30        # payload bits per int32 sort key (sign bit unused)
+_NKEYS = 3            # measured: 3-key sorts are the TPU sweet spot
 
 
 def _bucket_anchored(m: int, n: int) -> int:
@@ -42,63 +55,195 @@ def _bucket_anchored(m: int, n: int) -> int:
     M = 1 << max((n - 1).bit_length(), _MIN_BUCKET.bit_length() - 1)
     while M // 4 >= m and M // 4 >= _MIN_BUCKET:
         M //= 4
-    return M
+    return min(M, n)
 
 
-def _m0_for(n: int) -> int:
-    """Static capacity of the fused slot compaction: the n/16 anchor."""
-    n_pow2 = 1 << max((n - 1).bit_length(), _MIN_BUCKET.bit_length() - 1)
-    return max(n_pow2 // 16, _MIN_BUCKET)
+# ---------------------------------------------------------------------------
+# Alphabet histogram (MXU one-hot contraction; same trick as the occ
+# histogram in ops/build_ops._hist_core) — decides the dense pack rate.
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _initial_sort(text, *, n):
-    """9-symbol pack sort (three 27-bit keys).  Returns (sa, rank,
-    unresolved, slots0, m) where rank is by text position and holds the
-    group's base slot, unresolved[slot] marks slots in groups of size > 1,
-    and slots0 is those slots pre-compacted to the static n/16 bucket
-    (saving a separate O(n) compaction pass when — as on real text after a
-    9-symbol sort — few slots stay unresolved)."""
-    t = text.astype(jnp.int32)
+def _alpha_hist(text, *, n):
+    """int32[512] symbol counts of `text` (codes < 512)."""
+    S = 512
+    CH = 512
+    nch = -(-n // (CH * S))
+    b = jnp.full((nch * CH * S,), -1, jnp.int32)
+    b = jax.lax.dynamic_update_slice(b, text.astype(jnp.int32), (0,))
+    b3 = b.reshape(nch, CH, S)
+
+    def chunk(bc):
+        hi = bc >> 5
+        lo = bc & 31
+        A = (hi[:, :, None] == jnp.arange(16)[None, None, :]).astype(
+            jnp.bfloat16)
+        Bm = (lo[:, :, None] == jnp.arange(32)[None, None, :]).astype(
+            jnp.bfloat16)
+        ps = jnp.einsum(
+            "sri,srj->sij", A, Bm, preferred_element_type=jnp.float32
+        )
+        return ps.reshape(CH, 512).astype(jnp.int32).sum(axis=0)
+
+    return jax.lax.map(chunk, b3).sum(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Key build: dense monotone remap + packed 30-bit keys.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "per_key", "bits"))
+def _keys_stage(codes, *, n, per_key, bits):
+    """Pack per_key dense codes (each < 2**bits, >= 1) per 30-bit key.
+
+    Returns (k0, k1, k2, key0) where key0[p] packs codes[p:p+per_key]
+    (zero-padded past n — "past end" sorts first, matching the shorter-
+    suffix-first convention) and k1/k2 are key0 at +per_key/+2*per_key.
+    key0 is kept for the direct-extension epilogue.
+    """
     idx = jnp.arange(n, dtype=jnp.int32)
+    key0 = jnp.zeros((n,), jnp.int32)
+    for t in range(per_key):
+        sym = jnp.where(idx < n - t, jnp.roll(codes, -t), 0)
+        key0 = key0 | (sym << ((per_key - 1 - t) * bits))
+    k1 = jnp.where(idx < n - per_key, jnp.roll(key0, -per_key), 0)
+    k2 = jnp.where(idx < n - 2 * per_key, jnp.roll(key0, -2 * per_key), 0)
+    return key0, k1, k2
 
-    # Pack 3 symbols (9 bits each, values < 512) per 27-bit key; sorting by
-    # three packed keys orders 9-symbol prefixes, so doubling starts at k=9
-    # — on real text most groups are already singletons after this sort.
-    def pack3(shift):
-        a = jnp.where(idx < n - shift, jnp.roll(t, -shift), 0)
-        b = jnp.where(idx < n - shift - 1, jnp.roll(t, -shift - 1), 0)
-        c = jnp.where(idx < n - shift - 2, jnp.roll(t, -shift - 2), 0)
-        return (a << 18) | (b << 9) | c
 
-    s1, s2, s3, perm = jax.lax.sort(
-        (pack3(0), pack3(3), pack3(6), idx), num_keys=3
+@functools.partial(jax.jit, static_argnames=("n", "K"))
+def _remap_stage(text, used, *, n, K):
+    """Monotone dense remap: code = #used symbols <= text[p], in [1, K].
+    Order-preserving, so the SA of the remapped string equals the SA of
+    the original (the per-index dense-alphabet idea of the packed tier,
+    applied to the sort keys)."""
+    t = text.astype(jnp.int32)
+    return jnp.sum(
+        (t[:, None] >= used[None, :]).astype(jnp.int32), axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initial sort + unresolved-slot compaction.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _sort3(k0, k1, k2, payload, *, n):
+    """The one big sort.  Returns (perm, pull, st, m): perm is the
+    candidate SA, pull = payload[perm], st marks group starts (any key
+    differs from the previous slot), m = #slots in groups of size > 1."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s1, s2, s3, perm, pull = jax.lax.sort(
+        (k0, k1, k2, idx, payload), num_keys=_NKEYS
     )
     st = jnp.ones((n,), bool).at[1:].set(
         (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
     )
-    base = jax.lax.cummax(jnp.where(st, idx, 0))
-    rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
-    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
-    unresolved = ~(st & nxt_st)
-    M0 = _m0_for(n)
-    pos = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
-    tgt = jnp.where(unresolved, jnp.minimum(pos, M0 - 1), M0)
-    slots0 = (
-        jnp.full((M0 + 1,), n, jnp.int32).at[tgt].set(idx, mode="drop")[:M0]
-    )
-    return (perm, rank, unresolved, slots0,
-            jnp.sum(unresolved.astype(jnp.int32)))
+    nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    unresolved = ~(st & nxt)
+    return perm, pull, st, jnp.sum(unresolved.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _full_round(rank, k, *, n):
+def _compact_sort(st, *, n):
+    """Ascending unresolved slots compacted to the front via a stable
+    byte-key sort (measured ~2x faster than the n-row scatter form)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    unresolved = ~(st & nxt)
+    key = jnp.where(unresolved, 0, 1).astype(jnp.uint8)
+    _, slots_all = jax.lax.sort((key, idx), num_keys=1)
+    # tail lanes hold RESOLVED slot indices — replace with the n padding
+    # the active-set machinery expects (their base would otherwise be
+    # garbage: cummax over a non-ascending slot sequence)
+    m = jnp.sum(unresolved.astype(jnp.int32))
+    return jnp.where(idx < m, slots_all, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M"))
+def _init_base(st, slots, *, n, M):
+    """Group base slot for each active slot (groups are contiguous runs
+    whose first slot has st=1)."""
+    valid = slots < n
+    stv = st[jnp.where(valid, slots, 0)]
+    base = jax.lax.cummax(jnp.where(stv & valid, slots, 0))
+    return jnp.where(valid, base, _I32_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Direct-extension epilogue: re-sort the active slots by the next T packed
+# words.  No ISA, no rank array; the active set is ~1% of n on real text.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "M", "T", "per_key"))
+def _extend_round(sa, pull, st_g, payload, key0, slots, base, W,
+                  *, n, M, T, per_key):
+    valid = slots < n
+    safe = jnp.where(valid, slots, 0)
+    pos = sa[safe]
+    ops = [jnp.where(valid, base, _I32_MAX)]
+    for t in range(T):
+        q = pos + W + t * per_key
+        kw = jnp.where(q < n, key0[jnp.minimum(q, n - 1)], 0)
+        ops.append(jnp.where(valid, kw, _I32_MAX))
+    ops.append(pos)
+    srt = jax.lax.sort(tuple(ops), num_keys=T + 1)
+    sp = srt[-1]
+    st = jnp.ones((M,), bool)
+    neq = srt[0][1:] != srt[0][:-1]
+    for k in srt[1:-1]:
+        neq = neq | (k[1:] != k[:-1])
+    st = st.at[1:].set(neq)
+
+    tgt_w = jnp.where(valid, slots, n)
+    sa = sa.at[tgt_w].set(sp, mode="drop")
+    pull = pull.at[tgt_w].set(payload[sp], mode="drop")
+    st_g = st_g.at[tgt_w].set(st, mode="drop")
+
+    new_base = jax.lax.cummax(jnp.where(st & valid, slots, 0))
+    nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    keep = valid & ~(st & nxt)
+    ppos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, jnp.minimum(ppos, M - 1), M)
+    slots_next = (
+        jnp.full((M + 1,), n, jnp.int32).at[tgt].set(slots, mode="drop")[:M]
+    )
+    base_next = (
+        jnp.zeros((M + 1,), jnp.int32).at[tgt].set(new_base, mode="drop")[:M]
+    )
+    return sa, pull, st_g, slots_next, base_next, \
+        jnp.sum(keep.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fallback: prefix doubling (full rounds while mostly-unresolved, filtered
+# rounds on the compacted active set).  Needs the ISA ("rank"), built with
+# one n-row scatter only when this path is taken.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _rank_from_state(sa, st_g, *, n):
+    """rank[pos] = group base slot, from the current SA + group starts."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    base_g = jax.lax.cummax(jnp.where(st_g, iota, 0))
+    return jnp.zeros((n,), jnp.int32).at[sa].set(base_g)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _full_round(rank, payload, k, *, n):
     """One unfiltered doubling round over all n slots (cheaper than the
     filtered round while most groups are unresolved: rank_k comes from a
-    roll instead of per-slot gathers).  Same group-base rank convention."""
+    roll instead of per-slot gathers).  Carries the payload pull."""
     idx = jnp.arange(n, dtype=jnp.int32)
     rank_k = jnp.where(idx < n - k, jnp.roll(rank, -k), -1)
-    s1, s2, perm = jax.lax.sort((rank, rank_k, idx), num_keys=2)
+    s1, s2, perm, pull = jax.lax.sort(
+        (rank, rank_k, idx, payload), num_keys=2
+    )
     st = jnp.ones((n,), bool).at[1:].set(
         (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
     )
@@ -106,7 +251,48 @@ def _full_round(rank, k, *, n):
     new_rank = jnp.zeros((n,), jnp.int32).at[perm].set(base)
     nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
     unresolved = ~(st & nxt_st)
-    return perm, new_rank, unresolved, jnp.sum(unresolved.astype(jnp.int32))
+    return perm, pull, new_rank, st, \
+        jnp.sum(unresolved.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _filtered_round(sa, pull, rank, slots, k, payload, *, M):
+    """One filtered doubling round over the active slots.
+
+    slots: int32[M] ascending unresolved SA slots (n-padded).  Sorts the
+    active suffixes by (rank, rank at +k), writes them back into their
+    (fixed) group slot span, refines ranks, and returns the still-
+    unresolved slots compacted to the front.
+    """
+    n = sa.shape[0]
+    valid = slots < n
+    pos = sa[jnp.where(valid, slots, 0)]
+    r1 = jnp.where(valid, rank[pos], _I32_MAX)
+    pk = pos + k
+    r2 = jnp.where(pk < n, rank[jnp.minimum(pk, n - 1)], -1)
+    r2 = jnp.where(valid, r2, _I32_MAX)
+
+    s1, s2, sp = jax.lax.sort((r1, r2, pos), num_keys=2)
+    # element t now belongs at slot slots[t] (groups are slot-contiguous
+    # and slots are ascending, so sorted order == slot order)
+    st = jnp.ones((M,), bool).at[1:].set(
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    )
+    new_rank = jax.lax.cummax(jnp.where(st, slots, 0))
+
+    tgt_w = jnp.where(valid, slots, n)
+    sa = sa.at[tgt_w].set(sp, mode="drop")
+    pull = pull.at[tgt_w].set(payload[sp], mode="drop")
+    rank = rank.at[jnp.where(valid, sp, n)].set(new_rank, mode="drop")
+
+    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    keep = valid & ~(st & nxt_st)  # still in a subgroup of size > 1
+    ppos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, jnp.minimum(ppos, M - 1), M)
+    slots_next = (
+        jnp.full((M + 1,), n, jnp.int32).at[tgt].set(slots, mode="drop")[:M]
+    )
+    return sa, pull, rank, slots_next, jnp.sum(keep.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "M"))
@@ -120,101 +306,158 @@ def _compact_slots(unresolved, *, n, M):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
-def _filtered_round(sa, rank, slots, k, *, M):
-    """One filtered doubling round over the active slots.
-
-    slots: int32[M] ascending unresolved SA slots (n-padded).  Sorts the
-    active suffixes by (rank, rank at +k), writes them back into their
-    (fixed) group slot span, refines ranks, and returns the still-
-    unresolved slots compacted to the front.
-    """
-    n = sa.shape[0]
-    valid = slots < n
-    pos = sa[jnp.where(valid, slots, 0)]
-    r1 = jnp.where(valid, rank[pos], jnp.int32(0x7FFFFFFF))
-    pk = pos + k
-    r2 = jnp.where(pk < n, rank[jnp.minimum(pk, n - 1)], -1)
-    r2 = jnp.where(valid, r2, jnp.int32(0x7FFFFFFF))
-
-    s1, s2, sp = jax.lax.sort((r1, r2, pos), num_keys=2)
-    # element t now belongs at slot slots[t] (groups are slot-contiguous
-    # and slots are ascending, so sorted order == slot order)
-    st = jnp.ones((M,), bool).at[1:].set(
-        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
-    )
-    new_rank = jax.lax.cummax(jnp.where(st, slots, 0))
-
-    sa = sa.at[jnp.where(valid, slots, n)].set(sp, mode="drop")
-    rank = rank.at[jnp.where(valid, sp, n)].set(new_rank, mode="drop")
-
-    nxt_st = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
-    keep = valid & ~(st & nxt_st)  # still in a subgroup of size > 1
-    ppos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, jnp.minimum(ppos, M - 1), M)
-    slots_next = (
-        jnp.full((M + 1,), n, jnp.int32).at[tgt].set(slots, mode="drop")[:M]
-    )
-    return sa, rank, slots_next, jnp.sum(keep.astype(jnp.int32))
+@functools.partial(jax.jit, static_argnames=("n",))
+def _unresolved_of(st, *, n):
+    nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
+    return ~(st & nxt)
 
 
-def suffix_array(text: jax.Array) -> jax.Array:
+# ---------------------------------------------------------------------------
+# Driver.
+# ---------------------------------------------------------------------------
+
+
+def _pack_rate(K: int):
+    """(per_key, bits) for dense codes in [1, K]: how many symbols fit a
+    30-bit sort key.  K >= 128 keeps the identity 9-bit layout (the
+    remap's n*K compare-sum would outgrow its win)."""
+    if K >= 128:
+        return 3, 9
+    bits = max(1, int(K).bit_length())
+    return _KEY_BITS // bits, bits
+
+
+def suffix_array(text: jax.Array, payload: jax.Array | None = None):
     """Suffix array of `text` (int array of alphabet codes), as int32[n].
 
     Equivalent in contract to the reference's suffix_sort entry points
     (dcx.hh:6040, ssort_chpl/SuffixSort.chpl:66): SA[r] is the start offset
     of the rank-r suffix.  Requires every symbol in [1, 512) and n < 2**31.
-    """
-    text = jnp.asarray(text)
-    n = int(text.shape[0])
-    if n == 1:
-        return jnp.zeros((1,), jnp.int32)
 
+    payload: optional int32[n]; if given, returns (sa, pull) with
+    pull[r] = payload[sa[r]], carried through the sort as a free payload
+    operand — the fused-BWT trick that saves the O(n) random gather in
+    index packaging (callers pass payload = roll(packed_text, 1) so that
+    pull[r] = packed_text[sa[r]-1 mod n] = the BWT + aux word).
+    """
     import os
     import sys
     import time as _time
 
+    text = jnp.asarray(text)
+    n = int(text.shape[0])
+    want_pull = payload is not None
+    if n == 1:
+        sa = jnp.zeros((1,), jnp.int32)
+        return (sa, payload[sa]) if want_pull else sa
+    if payload is None:
+        payload = jnp.zeros((n,), jnp.int32)
+
     dbg = os.environ.get("FEMTO_TPU_SA_DEBUG", "") != ""
     t0 = _time.perf_counter()
-    sa, rank, unresolved, slots0, m_dev = _initial_sort(text, n=n)
+
+    hist = _alpha_hist(text, n=n)
+    used_np = np.nonzero(np.asarray(hist) > 0)[0].astype(np.int32)
+    K = int(used_np.shape[0])
+    per_key, bits = _pack_rate(K)
+    if per_key > 3:
+        codes = _remap_stage(text, jnp.asarray(used_np), n=n, K=K)
+    else:
+        codes = text.astype(jnp.int32)
+    key0, k1, k2 = _keys_stage(codes, n=n, per_key=per_key, bits=bits)
+    span = _NKEYS * per_key
+    perm, pull, st, m_dev = _sort3(key0, k1, k2, payload, n=n)
+    sa = perm
     m = int(m_dev)
     if dbg:
         print(f"  sa: initial sort {_time.perf_counter()-t0:.2f}s "
-              f"unresolved={m}/{n}", file=sys.stderr, flush=True)
-    k = 9
-    slots = None
-    M = 0
-    if 0 < m <= _m0_for(n):
-        # the fused compaction already holds the slots (ascending prefix)
-        M = min(_bucket_anchored(m, n), _m0_for(n))
-        slots = slots0[:M]
-    while m > 0 and k < 2 * n:
+              f"K={K} span={span} unresolved={m}/{n}",
+              file=sys.stderr, flush=True)
+
+    if m == 0:
+        return (sa, pull) if want_pull else sa
+
+    if m > n // 4:
+        # mostly-unresolved (repetitive/small-alphabet input): prefix
+        # doubling with full rounds, then filtered rounds
+        rank = _rank_from_state(sa, st, n=n)
+        k = span
+        slots = None
+        M = 0
+        while m > 0 and k < 2 * n:
+            t1 = _time.perf_counter()
+            if slots is None and m > n // 4:
+                sa, pull, rank, st, m_dev = _full_round(
+                    rank, payload, jnp.int32(k), n=n)
+                m = int(m_dev)
+                kind = f"full n={n}"
+            else:
+                if slots is None:
+                    M = _bucket_anchored(m, n)
+                    slots = _compact_slots(
+                        _unresolved_of(st, n=n), n=n, M=M)
+                sa, pull, rank, slots_next, m_dev = _filtered_round(
+                    sa, pull, rank, slots, jnp.int32(k), payload, M=M)
+                m = int(m_dev)
+                kind = f"filtered M={M}"
+                if m > 0:
+                    M_next = _bucket_anchored(m, n)
+                    slots = slots_next[:M_next] if M_next < M else slots_next
+                    M = M_next
+            if dbg:
+                print(f"  sa: round k={k} ({kind}) -> m={m} "
+                      f"({_time.perf_counter()-t1:.2f}s)",
+                      file=sys.stderr, flush=True)
+            k *= 2
+        return (sa, pull) if want_pull else sa
+
+    # common path: direct key extension of the tiny active set
+    M = _bucket_anchored(m, n)
+    slots = _compact_sort(st, n=n)[:M]
+    base = _init_base(st, slots, n=n, M=M)
+    st_g = st
+    W = span
+    rounds = 0
+    while m > 0 and rounds < _EXT_MAX_ROUNDS:
         t1 = _time.perf_counter()
-        if slots is None and m > n // 4:
-            # mostly-unresolved: the roll-based full round beats the slot
-            # gather/scatter machinery
-            sa, rank, unresolved, m_dev = _full_round(rank, jnp.int32(k), n=n)
+        sa, pull, st_g, slots_next, base_next, m_dev = _extend_round(
+            sa, pull, st_g, payload, key0, slots, base, jnp.int32(W),
+            n=n, M=M, T=_EXT_T, per_key=per_key)
+        m = int(m_dev)
+        W += _EXT_T * per_key
+        rounds += 1
+        if dbg:
+            print(f"  sa: extend W->{W} (M={M}) -> m={m} "
+                  f"({_time.perf_counter()-t1:.2f}s)",
+                  file=sys.stderr, flush=True)
+        if m > 0:
+            M_next = _bucket_anchored(m, n)
+            slots = slots_next[:M_next]
+            base = base_next[:M_next]
+            M = M_next
+
+    if m > 0:
+        # long-repeat tail: switch to filtered prefix doubling (O(log n)
+        # rounds); ranks are valid for k = W by construction (equal rank
+        # iff the suffixes share a W-symbol prefix)
+        rank = _rank_from_state(sa, st_g, n=n)
+        k = W
+        while m > 0 and k < 2 * n:
+            t1 = _time.perf_counter()
+            sa, pull, rank, slots_next, m_dev = _filtered_round(
+                sa, pull, rank, slots, jnp.int32(k), payload, M=M)
             m = int(m_dev)
-            kind = f"full n={n}"
-        else:
-            if slots is None:
-                M = _bucket_anchored(m, n)
-                slots = _compact_slots(unresolved, n=n, M=M)
-            sa, rank, slots_next, m_dev = _filtered_round(
-                sa, rank, slots, jnp.int32(k), M=M
-            )
-            m = int(m_dev)
-            kind = f"filtered M={M}"
+            if dbg:
+                print(f"  sa: round k={k} (filtered M={M}) -> m={m} "
+                      f"({_time.perf_counter()-t1:.2f}s)",
+                      file=sys.stderr, flush=True)
             if m > 0:
                 M_next = _bucket_anchored(m, n)
                 slots = slots_next[:M_next] if M_next < M else slots_next
                 M = M_next
-        if dbg:
-            print(f"  sa: round k={k} ({kind}) -> m={m} "
-                  f"({_time.perf_counter()-t1:.2f}s)",
-                  file=sys.stderr, flush=True)
-        k *= 2
-    return sa
+            k *= 2
+
+    return (sa, pull) if want_pull else sa
 
 
 def suffix_array_np(text: np.ndarray) -> np.ndarray:
