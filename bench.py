@@ -168,7 +168,9 @@ def main():
     log(f"backward search: {sps/1e6:.2f}M steps/s/chip "
         f"({dt/iters*1e3:.1f} ms per {B}x{P} batch)")
 
-    # --- locate (lockstep walk, deferred mark-value resolution) ---
+    # --- locate (lockstep walk, deferred mark-value resolution; the
+    # phased/compacting walk loses on this remote-dispatch transport,
+    # PERF.md round 2) ---
     LB = int(os.environ.get("BENCH_LOCATE_BATCH", "65536"))
     rows = jnp.asarray(rng.integers(0, n, size=LB).astype(np.int32))
 

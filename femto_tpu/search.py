@@ -51,9 +51,17 @@ def _count_jit(arrays, n, pats, row0=0):
     return first, last
 
 
-@functools.partial(jax.jit, static_argnames=("n", "mark_period"))
 def _locate_jit(arrays, n, mark_period, rows):
-    return S.locate_rows(arrays, mark_period, rows)
+    """Locate dispatch.  Default is the single-dispatch lockstep loop; the
+    host-driven phased walk (lane compaction between scan phases) is
+    opt-in via FEMTO_TPU_PHASED_LOCATE=1 — it cuts executed lanes ~1.4x
+    but costs 2+ host syncs, which lose on remote-dispatch transports
+    (measured: 0.25M vs 0.67M rows/s through the TPU tunnel)."""
+    import os
+
+    if os.environ.get("FEMTO_TPU_PHASED_LOCATE"):
+        return S.locate_rows_phased(arrays, mark_period, rows)
+    return S._locate_rows_jit(arrays, mark_period, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

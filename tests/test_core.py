@@ -164,3 +164,23 @@ def test_locate_deferred_grank_parity(rng):
     sa = np.asarray(ft.suffix_array(
         jnp.asarray(prepared.text.astype(np.int32))))
     np.testing.assert_array_equal(got[:n], sa)
+
+
+def test_locate_phased_parity(rng):
+    """locate_rows_phased (lane compaction between walk phases) must match
+    the lockstep while_loop on every row, including padded/duplicate rows
+    and batch sizes that are not powers of two."""
+    import jax.numpy as jnp
+    from femto_tpu.ops.search_ops import locate_rows, locate_rows_phased
+
+    docs = [bytes(rng.integers(97, 123, size=2500).astype(np.uint8))
+            for _ in range(6)]
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=20)
+    n = index.meta.n
+    for B in (5000, 8192, 12345):
+        rows = jnp.asarray(rng.integers(0, n, size=B).astype(np.int32))
+        ref = np.asarray(locate_rows(index.arrays, 20, rows))
+        got = np.asarray(locate_rows_phased(index.arrays, 20, rows,
+                                            min_compact=1024))
+        np.testing.assert_array_equal(ref, got)
