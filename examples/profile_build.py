@@ -62,21 +62,26 @@ def main():
     text_dev.block_until_ready()
     log(f"corpus {mb} MiB on device")
 
-    # --- SA ---
+    # --- SA (fused payload; FEMTO_TPU_SA_DEBUG=1 prints sub-stages) ---
+    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
+    payload = BO.build_sa_payload(
+        text_dev, doc_starts_dev, n=n, mark_period=mark_period, ndocs=ndocs)
+    payload.block_until_ready()
+
     def sa_run():
         t0 = time.perf_counter()
-        sa = ft.suffix_array(text_dev)
-        sa.block_until_ready()
-        return sa, time.perf_counter() - t0
+        sa, pull = ft.suffix_array(text_dev, payload=payload)
+        jax.block_until_ready((sa, pull))
+        return sa, pull, time.perf_counter() - t0
 
-    sa, t_cold = sa_run()
-    sa, t_sa = sa_run()
-    log(f"SA: {t_sa:.3f}s steady = {mb/t_sa:.1f} MiB/s (cold {t_cold:.1f}s)")
+    sa, pull, t_cold = sa_run()
+    sa, pull, t_sa = sa_run()
+    log(f"SA+pull: {t_sa:.3f}s steady = {mb/t_sa:.1f} MiB/s "
+        f"(cold {t_cold:.1f}s)")
 
     # --- packaging stages ---
     n_seg = n // seg + 1
     n_pad = n_seg * seg
-    doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
     cap = BO.mark_cap(n, ndocs, mark_period, seg)
 
     def timeit(name, fn, reps=3):
@@ -91,17 +96,16 @@ def main():
         return out, dt
 
     (bwt, bwt_chars, a_row), t_b = timeit(
-        "bwt_aux_stage (fused gather)",
-        lambda: BO._bwt_aux_stage(
-            text_dev, sa, doc_starts_dev, n=n, n_pad=n_pad,
-            mark_period=mark_period, ndocs=ndocs))
+        "split_pull (fused path)",
+        lambda: BO._split_pull(pull, n=n, n_pad=n_pad))
     (C, occ_ckpt, occ_l1), t_o = timeit(
         "occ_stage",
         lambda: BO._occ_stage(bwt_chars, n=n, n_seg=n_seg, seg=seg))
     marks_out, t_m = timeit(
         "marks_finish",
         lambda: BO._marks_finish(
-            sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs))
+            sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
+            mark_period=mark_period))
 
     t_pkg = t_b + t_o + t_m
     log(f"packaging total: {t_pkg:.3f}s -> build total {t_sa+t_pkg:.3f}s "

@@ -236,20 +236,25 @@ def _aux_gather_stage(sa, doc_starts, *, n, mark_period, ndocs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_pad", "seg", "cap", "ndocs")
+    jax.jit, static_argnames=("n", "n_pad", "seg", "cap", "ndocs",
+                              "mark_period")
 )
-def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
+def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs, mark_period=1):
     """Mark bitmap/checkpoints/values + per-doc SEOF rows from the row-order
     aux words (the random gather already happened in the suffix sort's
     payload pull or in _bwt_aux_stage).
 
-    The mark-value compaction is a stable byte-key sort (marked rows to
-    the front, row order preserved) — measured ~2x cheaper than the n-row
-    scatter form on TPU — and the per-doc SEOF rows are read off the
-    compacted prefix (every SEOF row is marked, index_types.h:134-144),
-    replacing a second n-row scatter with a cap-row one."""
+    The mark-value compaction is RANK-SELECT, not a sort: for each mark
+    rank g < cap, searchsorted over mark_ckpt finds its segment, then a
+    word-level popcount scan + 5-step in-word binary search select its
+    row — all cap-row (~n/mark_period) ops, no O(n) sort or scatter
+    (the n-row byte-key sort this replaces was 0.50 s of the 0.65 s
+    packaging at 96 MiB).  Per-doc SEOF rows come from the selected rows'
+    tags (every SEOF row is marked when sampling is on,
+    index_types.h:134-144).  mark_period==0 keeps a sort-based path (its
+    SEOF rows are unmarked; cap is tiny there)."""
     n_seg = n_pad // seg
-    idx = jnp.arange(n, dtype=jnp.int32)
+    W = seg // 32
     marked_sa = (a_row & 1) != 0
     row_tag = a_row >> 1
 
@@ -259,7 +264,7 @@ def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
     bits = marked_row.reshape(n_pad // 32, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     mark_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32).reshape(
-        n_seg, seg // 32
+        n_seg, W
     )
     per_seg_marks = (
         marked_row.reshape(n_seg, seg).sum(axis=1).astype(jnp.int32)
@@ -267,34 +272,67 @@ def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs):
     mark_ckpt = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
     ).astype(jnp.int32)
+    n_marks = jnp.sum(per_seg_marks)
 
-    # sort keys: 0 = marked row, 1 = unmarked SEOF row (mark_period=0 only
-    # — with sampling on, every SEOF row is marked, index_types.h:134-144),
-    # 2 = rest.  Marked rows form the exact prefix [0, n_marks); SEOF rows
-    # all land inside [0, n_front).
-    key = jnp.where(
-        marked_sa, 0, jnp.where(row_tag > 0, 1, 2)
-    ).astype(jnp.uint8)
-    _, rows = jax.lax.sort((key, idx), num_keys=1)
-    capn = min(cap, n)
-    rr = rows[:capn]
-    vals = sa[rr].astype(jnp.int32)
-    tags = row_tag[rr]
-    n_marks = jnp.sum(marked_sa.astype(jnp.int32))
-    n_front = n_marks + jnp.sum(
-        ((~marked_sa) & (row_tag > 0)).astype(jnp.int32)
+    if mark_period == 0:
+        # no sampled marks: compact the (unmarked) SEOF tag rows with a
+        # tiny byte-key sort to recover doc_seof_rows
+        idx = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(row_tag > 0, 0, 1).astype(jnp.uint8)
+        _, rows = jax.lax.sort((key, idx), num_keys=1)
+        capn = min(cap, n)
+        rr = rows[:capn]
+        tags = row_tag[rr]
+        lane = jnp.arange(capn, dtype=jnp.int32)
+        live = lane < jnp.sum((row_tag > 0).astype(jnp.int32))
+        doc_seof_rows = (
+            jnp.zeros((ndocs + 1,), jnp.int32)
+            .at[jnp.where(live & (tags > 0), tags - 1, ndocs)]
+            .set(rr, mode="drop")[:ndocs]
+        )
+        mark_vals = jnp.full((cap,), -1, jnp.int32)
+        return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
+
+    # --- rank-select compaction at WORD granularity (cap-row ops only) ---
+    # word of mark rank g = last 32-bit word w with word_ckpt[w] <= g,
+    # computed by scattering w to position word_ckpt[w] (n/32 rows;
+    # duplicates from empty words resolve by max) + a cummax fill.
+    # searchsorted here would be ~log2 gather passes over cap lanes, and a
+    # per-SEGMENT select needs a [cap, W]-row gather + advanced indexing —
+    # both measured slower than the sort this replaces (PERF.md round 2).
+    words_flat = mark_bits.reshape(-1)                  # [n_pad//32] uint32
+    wpc = jax.lax.population_count(words_flat).astype(jnp.int32)
+    word_ckpt = jnp.cumsum(wpc) - wpc                   # exclusive
+    g = jnp.arange(cap, dtype=jnp.int32)
+    w_at = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[jnp.minimum(word_ckpt, cap)]
+        .max(jnp.arange(words_flat.shape[0], dtype=jnp.int32), mode="drop")
+        [:cap]
     )
-    lane = jnp.arange(capn, dtype=jnp.int32)
-    live = lane < n_marks
-    mark_vals = jnp.full((cap,), -1, jnp.int32)
-    mark_vals = jax.lax.dynamic_update_slice(
-        mark_vals, jnp.where(live, vals, -1), (0,)
-    )
-    live_tag = lane < n_front
+    w = jax.lax.cummax(w_at)
+    rem = g - word_ckpt[w]                 # 0-based set-bit rank in word
+    cur = words_flat[w]
+    pos = jnp.zeros((cap,), jnp.int32)
+    for half in (16, 8, 4, 2, 1):
+        mask = jnp.uint32((1 << half) - 1)
+        lowc = jax.lax.population_count(cur & mask).astype(jnp.int32)
+        go_hi = rem >= lowc
+        rem = jnp.where(go_hi, rem - lowc, rem)
+        pos = pos + jnp.where(go_hi, half, 0)
+        cur = jnp.where(go_hi, cur >> jnp.uint32(half), cur & mask)
+    valid = g < n_marks
+    row = w * 32 + pos
+    rowc = jnp.minimum(jnp.where(valid, row, 0), n - 1)
+    # one fused 2-column gather serves both the SA value and the SEOF tag
+    sa_tag = jnp.stack([sa.astype(jnp.int32), row_tag], axis=1)  # [n, 2]
+    picked = sa_tag[rowc]                                        # [cap, 2]
+    mark_vals = jnp.where(valid, picked[:, 0], -1)
+    tags = jnp.where(valid, picked[:, 1], 0)
     doc_seof_rows = (
         jnp.zeros((ndocs + 1,), jnp.int32)
-        .at[jnp.where(live_tag & (tags > 0), tags - 1, ndocs)]
-        .set(rr, mode="drop")[:ndocs]
+        .at[jnp.where(tags > 0, tags - 1, ndocs)]
+        .set(rowc, mode="drop")[:ndocs]
     )
     return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
 
@@ -382,6 +420,7 @@ def build_fm_arrays_device(
     cap = mark_cap(n, ndocs, mark_period, seg)
     mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_finish(
         sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
+        mark_period=mark_period,
     )
 
     arrays = FMArrays(
