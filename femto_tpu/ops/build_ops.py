@@ -235,6 +235,45 @@ def _aux_gather_stage(sa, doc_starts, *, n, mark_period, ndocs):
     return jnp.take(aux, sa, axis=0)
 
 
+def _mark_rank_select(mark_bits, n_marks, cap: int, n_limit: int):
+    """(valid bool[cap], row int32[cap]): the row of each mark rank
+    g < cap, by WORD-granularity rank-select over the mark bitmap.
+
+    word of mark rank g = last 32-bit word w with word_ckpt[w] <= g,
+    computed by scattering w to position word_ckpt[w] (n/32 rows;
+    duplicates from empty words resolve by max) + a cummax fill, then a
+    5-step in-word popcount binary search.  All O(cap)-row ops —
+    searchsorted here would be ~log2 gather passes over cap lanes, and a
+    per-SEGMENT select needs a [cap, W]-row gather + advanced indexing;
+    both measured slower than the n-row sort this machinery replaces
+    (PERF.md round 2)."""
+    words_flat = mark_bits.reshape(-1)                  # [n_words] uint32
+    wpc = jax.lax.population_count(words_flat).astype(jnp.int32)
+    word_ckpt = jnp.cumsum(wpc) - wpc                   # exclusive
+    g = jnp.arange(cap, dtype=jnp.int32)
+    w_at = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[jnp.minimum(word_ckpt, cap)]
+        .max(jnp.arange(words_flat.shape[0], dtype=jnp.int32), mode="drop")
+        [:cap]
+    )
+    w = jax.lax.cummax(w_at)
+    rem = g - word_ckpt[w]                 # 0-based set-bit rank in word
+    cur = words_flat[w]
+    pos = jnp.zeros((cap,), jnp.int32)
+    for half in (16, 8, 4, 2, 1):
+        mask = jnp.uint32((1 << half) - 1)
+        lowc = jax.lax.population_count(cur & mask).astype(jnp.int32)
+        go_hi = rem >= lowc
+        rem = jnp.where(go_hi, rem - lowc, rem)
+        pos = pos + jnp.where(go_hi, half, 0)
+        cur = jnp.where(go_hi, cur >> jnp.uint32(half), cur & mask)
+    valid = g < n_marks
+    row = w * 32 + pos
+    rowc = jnp.minimum(jnp.where(valid, row, 0), n_limit - 1)
+    return valid, rowc
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "n_pad", "seg", "cap", "ndocs",
                               "mark_period")
@@ -293,37 +332,7 @@ def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs, mark_period=1):
         mark_vals = jnp.full((cap,), -1, jnp.int32)
         return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
 
-    # --- rank-select compaction at WORD granularity (cap-row ops only) ---
-    # word of mark rank g = last 32-bit word w with word_ckpt[w] <= g,
-    # computed by scattering w to position word_ckpt[w] (n/32 rows;
-    # duplicates from empty words resolve by max) + a cummax fill.
-    # searchsorted here would be ~log2 gather passes over cap lanes, and a
-    # per-SEGMENT select needs a [cap, W]-row gather + advanced indexing —
-    # both measured slower than the sort this replaces (PERF.md round 2).
-    words_flat = mark_bits.reshape(-1)                  # [n_pad//32] uint32
-    wpc = jax.lax.population_count(words_flat).astype(jnp.int32)
-    word_ckpt = jnp.cumsum(wpc) - wpc                   # exclusive
-    g = jnp.arange(cap, dtype=jnp.int32)
-    w_at = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[jnp.minimum(word_ckpt, cap)]
-        .max(jnp.arange(words_flat.shape[0], dtype=jnp.int32), mode="drop")
-        [:cap]
-    )
-    w = jax.lax.cummax(w_at)
-    rem = g - word_ckpt[w]                 # 0-based set-bit rank in word
-    cur = words_flat[w]
-    pos = jnp.zeros((cap,), jnp.int32)
-    for half in (16, 8, 4, 2, 1):
-        mask = jnp.uint32((1 << half) - 1)
-        lowc = jax.lax.population_count(cur & mask).astype(jnp.int32)
-        go_hi = rem >= lowc
-        rem = jnp.where(go_hi, rem - lowc, rem)
-        pos = pos + jnp.where(go_hi, half, 0)
-        cur = jnp.where(go_hi, cur >> jnp.uint32(half), cur & mask)
-    valid = g < n_marks
-    row = w * 32 + pos
-    rowc = jnp.minimum(jnp.where(valid, row, 0), n - 1)
+    valid, rowc = _mark_rank_select(mark_bits, n_marks, cap, n)
     # one fused 2-column gather serves both the SA value and the SEOF tag
     sa_tag = jnp.stack([sa.astype(jnp.int32), row_tag], axis=1)  # [n, 2]
     picked = sa_tag[rowc]                                        # [cap, 2]

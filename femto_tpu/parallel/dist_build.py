@@ -406,14 +406,13 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, *,
     mark_ckpt = mark_base + jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
     ).astype(jnp.int32)
-    # per-shard value compaction (lookup: grank - mark_ckpt_local[0])
-    mrank = jnp.cumsum(marked.astype(jnp.int32)) - marked.astype(jnp.int32)
-    slot = jnp.where(marked, jnp.minimum(mrank, cap_local - 1), cap_local)
-    mark_vals = (
-        jnp.full((cap_local + 1,), -1, jnp.int32)
-        .at[slot].set(sa_block, mode="drop", indices_are_sorted=True)
-        [:cap_local]
-    )
+    # per-shard value compaction (lookup: grank - mark_ckpt_local[0]) by
+    # the same word-level rank-select as the single-chip packaging
+    # (build_ops._mark_rank_select) — O(cap_local) ops, no m-row scatter
+    from ..ops.build_ops import _mark_rank_select
+
+    mvalid, mrow = _mark_rank_select(mark_bits, local_marks, cap_local, m)
+    mark_vals = jnp.where(mvalid, sa_block[mrow], -1)
     mark_overflow = jnp.maximum(local_marks - cap_local, 0)
 
     # --- per-doc SEOF rows: local partial + psum merge ---
