@@ -94,11 +94,12 @@ def _alpha_hist(text, *, n):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n", "per_key", "bits"))
-def _keys_stage(codes, *, n, per_key, bits):
+@functools.partial(jax.jit, static_argnames=("n", "per_key", "bits",
+                                             "nkeys"))
+def _keys_stage(codes, *, n, per_key, bits, nkeys):
     """Pack per_key dense codes (each < 2**bits, >= 1) per 30-bit key.
 
-    Returns (k0, k1, k2, key0) where key0[p] packs codes[p:p+per_key]
+    Returns (key0, k1[, k2]) where key0[p] packs codes[p:p+per_key]
     (zero-padded past n — "past end" sorts first, matching the shorter-
     suffix-first convention) and k1/k2 are key0 at +per_key/+2*per_key.
     key0 is kept for the direct-extension epilogue.
@@ -108,9 +109,11 @@ def _keys_stage(codes, *, n, per_key, bits):
     for t in range(per_key):
         sym = jnp.where(idx < n - t, jnp.roll(codes, -t), 0)
         key0 = key0 | (sym << ((per_key - 1 - t) * bits))
-    k1 = jnp.where(idx < n - per_key, jnp.roll(key0, -per_key), 0)
-    k2 = jnp.where(idx < n - 2 * per_key, jnp.roll(key0, -2 * per_key), 0)
-    return key0, k1, k2
+    out = [key0]
+    for q in range(1, nkeys):
+        out.append(jnp.where(idx < n - q * per_key,
+                             jnp.roll(key0, -q * per_key), 0))
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "K"))
@@ -131,36 +134,44 @@ def _remap_stage(text, used, *, n, K):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _sort3(k0, k1, k2, payload, *, n):
-    """The one big sort.  Returns (perm, pull, st, m): perm is the
-    candidate SA, pull = payload[perm], st marks group starts (any key
-    differs from the previous slot), m = #slots in groups of size > 1."""
+def _sort3(*args, n):
+    """The one big sort (args = nkeys key arrays + payload).  Returns
+    (perm, pull, st, m): perm is the candidate SA, pull = payload[perm],
+    st marks group starts (any key differs from the previous slot),
+    m = #slots in groups of size > 1."""
+    keys, payload = args[:-1], args[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
-    s1, s2, s3, perm, pull = jax.lax.sort(
-        (k0, k1, k2, idx, payload), num_keys=_NKEYS
-    )
-    st = jnp.ones((n,), bool).at[1:].set(
-        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
-    )
+    out = jax.lax.sort((*keys, idx, payload), num_keys=len(keys))
+    perm, pull = out[-2], out[-1]
+    neq = out[0][1:] != out[0][:-1]
+    for s in out[1:-2]:
+        neq = neq | (s[1:] != s[:-1])
+    st = jnp.ones((n,), bool).at[1:].set(neq)
     nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
     unresolved = ~(st & nxt)
     return perm, pull, st, jnp.sum(unresolved.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _compact_sort(st, *, n):
-    """Ascending unresolved slots compacted to the front via a stable
-    byte-key sort (measured ~2x faster than the n-row scatter form)."""
-    idx = jnp.arange(n, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("n", "M"))
+def _compact_select(st, *, n, M):
+    """Ascending unresolved slots (n-padded, capacity M) via bitmap
+    rank-select — O(n/32 + M) instead of the n-row byte-key sort it
+    replaces (which cost ~0.35 s at n=100M, dominating the extension
+    epilogue; PERF.md round 2)."""
+    from .ops.build_ops import _mark_rank_select
+
     nxt = jnp.concatenate([st[1:], jnp.ones((1,), bool)])
     unresolved = ~(st & nxt)
-    key = jnp.where(unresolved, 0, 1).astype(jnp.uint8)
-    _, slots_all = jax.lax.sort((key, idx), num_keys=1)
-    # tail lanes hold RESOLVED slot indices — replace with the n padding
-    # the active-set machinery expects (their base would otherwise be
-    # garbage: cummax over a non-ascending slot sequence)
+    n_words = -(-n // 32)
+    padded = jnp.concatenate(
+        [unresolved, jnp.zeros((n_words * 32 - n,), bool)]
+    )
+    bits = padded.reshape(n_words, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    words = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32)
     m = jnp.sum(unresolved.astype(jnp.int32))
-    return jnp.where(idx < m, slots_all, n)
+    valid, row = _mark_rank_select(words, m, M, n)
+    return jnp.where(valid, row, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "M"))
@@ -179,7 +190,8 @@ def _init_base(st, slots, *, n, M):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n", "M", "T", "per_key"))
+@functools.partial(jax.jit, static_argnames=("n", "M", "T", "per_key"),
+                   donate_argnums=(0, 1, 2))
 def _extend_round(sa, pull, st_g, payload, key0, slots, base, W,
                   *, n, M, T, per_key):
     valid = slots < n
@@ -255,7 +267,8 @@ def _full_round(rank, payload, k, *, n):
         jnp.sum(unresolved.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
+@functools.partial(jax.jit, static_argnames=("M",),
+                   donate_argnums=(0, 1, 2))
 def _filtered_round(sa, pull, rank, slots, k, payload, *, M):
     """One filtered doubling round over the active slots.
 
@@ -364,9 +377,14 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
         codes = _remap_stage(text, jnp.asarray(used_np), n=n, K=K)
     else:
         codes = text.astype(jnp.int32)
-    key0, k1, k2 = _keys_stage(codes, n=n, per_key=per_key, bits=bits)
-    span = _NKEYS * per_key
-    perm, pull, st, m_dev = _sort3(key0, k1, k2, payload, n=n)
+    # 2 keys when the pack rate covers >= 10 symbols (measured 22% cheaper
+    # than 3-key; the slightly larger residual goes to the extension
+    # epilogue), else 3
+    nkeys = 2 if 2 * per_key >= 10 else _NKEYS
+    keys = _keys_stage(codes, n=n, per_key=per_key, bits=bits, nkeys=nkeys)
+    key0 = keys[0]
+    span = nkeys * per_key
+    perm, pull, st, m_dev = _sort3(*keys, payload, n=n)
     sa = perm
     m = int(m_dev)
     if dbg:
@@ -413,7 +431,7 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
 
     # common path: direct key extension of the tiny active set
     M = _bucket_anchored(m, n)
-    slots = _compact_sort(st, n=n)[:M]
+    slots = _compact_select(st, n=n, M=M)
     base = _init_base(st, slots, n=n, M=M)
     st_g = st
     W = span
