@@ -36,6 +36,25 @@ def test_suffix_array_repetitive(rng):
     np.testing.assert_array_equal(sa, suffix_array_np(text))
 
 
+def test_suffix_array_long_embedded_repeat(rng):
+    """A repeat longer than the direct-extension window forces the
+    extension -> filtered-doubling fallback; also payload pull parity."""
+    import jax.numpy as jnp
+
+    block = rng.integers(1, 5, size=3000).astype(np.int32)
+    noise1 = rng.integers(1, 5, size=500).astype(np.int32)
+    noise2 = rng.integers(1, 5, size=700).astype(np.int32)
+    text = np.concatenate([noise1, block, noise2, block, [5]])
+    sa_ref = suffix_array_np(text)
+    sa = np.asarray(ft.suffix_array(jnp.asarray(text)))
+    np.testing.assert_array_equal(sa, sa_ref)
+    # fused payload: pull[r] must equal payload[sa[r]]
+    payload = rng.integers(0, 1 << 20, size=text.shape[0]).astype(np.int32)
+    sa2, pull = ft.suffix_array(jnp.asarray(text), jnp.asarray(payload))
+    np.testing.assert_array_equal(np.asarray(sa2), sa_ref)
+    np.testing.assert_array_equal(np.asarray(pull), payload[sa_ref])
+
+
 @pytest.fixture(scope="module")
 def small_index():
     rng = np.random.default_rng(7)
