@@ -27,7 +27,43 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_device(budget_s: float) -> None:
+    """Block until the JAX backend can initialize, probing in SUBPROCESSES.
+
+    The deployment tunnels a remote TPU; the tunnel flaps occasionally
+    (observed: 'Unable to initialize backend ... (Unavailable)' or an
+    indefinite init hang).  JAX caches a failed backend init per process,
+    so the probe must run out-of-process; the main process only imports
+    jax once a probe has succeeded."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                if attempt > 1:
+                    log(f"device probe ok after {attempt} attempts")
+                return
+            err = (r.stderr or r.stdout).strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (240s)"
+        if time.time() >= deadline:
+            log(f"device still unavailable after {budget_s:.0f}s: {err}")
+            return  # let main() fail with the real error
+        log(f"device unavailable ({err}); retrying in 30s")
+        time.sleep(30)
+
+
 def main():
+    wait_for_device(float(os.environ.get("BENCH_WAIT_DEVICE_S", "1800")))
     import jax
     import jax.numpy as jnp
 
