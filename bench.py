@@ -11,8 +11,11 @@ pattern-character advance of one query = 2 rank(c, r) lookups.
 Methodology notes (this environment tunnels a remote TPU):
   * host<->device transfers are pathologically slow through the tunnel, so
     the corpus is synthesized ON DEVICE and never round-trips;
-  * remote dispatch may queue, so every timed loop chains a scalar
-    accumulator through iterations and ends with a host materialization.
+  * remote dispatch may queue AND jax.block_until_ready returns early on
+    this transport (measured: a 9 ms histogram "completes" in 0.09 ms), so
+    every timed loop chains a scalar accumulator through iterations and
+    ends with a host materialization; build phases end with ONE jitted
+    fingerprint program over all outputs + an int() pull.
 """
 
 import json
@@ -118,8 +121,16 @@ def main():
         return jnp.where(is_end, SEOF, text)
 
     text_dev = gen_text(jax.random.PRNGKey(1234))
-    text_dev.block_until_ready()
+    _ = int(text_dev[0])
     log("corpus synthesized on device")
+
+    @jax.jit
+    def fingerprint(tree):
+        tot = jnp.int32(0)
+        for leaf in jax.tree.leaves(tree):
+            idx = tuple(0 for _ in leaf.shape)
+            tot = tot + leaf[idx].astype(jnp.int32)
+        return tot
 
     # --- suffix array (fused BWT payload): cold then steady ---
     doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
@@ -130,7 +141,7 @@ def main():
             ndocs=ndocs,
         )
         sa, pull = ft.suffix_array(text_dev, payload=payload)
-        jax.block_until_ready((sa, pull))
+        _ = int(fingerprint((sa, pull)))
         return sa, pull
 
     t0 = time.perf_counter()
@@ -149,7 +160,7 @@ def main():
             n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
             tier=tier, pull=pull,
         )
-        jax.block_until_ready(arrays)
+        _ = int(fingerprint(arrays))
         return arrays, int(n_marks)
 
     t0 = time.perf_counter()
@@ -180,7 +191,7 @@ def main():
         return jnp.take(text, idx, axis=0).astype(jnp.int32)
 
     packed_dev = slice_patterns(text_dev, jnp.asarray(starts))
-    packed_dev.block_until_ready()
+    _ = int(packed_dev[0, 0])
 
     @jax.jit
     def count_step(arrays, pats, acc):

@@ -235,31 +235,62 @@ def _aux_gather_stage(sa, doc_starts, *, n, mark_period, ndocs):
     return jnp.take(aux, sa, axis=0)
 
 
+_RS_GROUP = 8  # bitmap words per rank-select group (256 rows)
+
+
 def _mark_rank_select(mark_bits, n_marks, cap: int, n_limit: int):
     """(valid bool[cap], row int32[cap]): the row of each mark rank
-    g < cap, by WORD-granularity rank-select over the mark bitmap.
+    g < cap, by GROUP-granularity rank-select over the mark bitmap.
 
-    word of mark rank g = last 32-bit word w with word_ckpt[w] <= g,
-    computed by scattering w to position word_ckpt[w] (n/32 rows;
-    duplicates from empty words resolve by max) + a cummax fill, then a
-    5-step in-word popcount binary search.  All O(cap)-row ops —
-    searchsorted here would be ~log2 gather passes over cap lanes, and a
-    per-SEGMENT select needs a [cap, W]-row gather + advanced indexing;
-    both measured slower than the n-row sort this machinery replaces
-    (PERF.md round 2)."""
+    The bitmap is viewed as groups of 8 words (256 rows).  The group of
+    rank g = last group with group_ckpt <= g, computed by scattering the
+    group id to position group_ckpt (n/256 rows; duplicates from empty
+    groups resolve by max) + a cummax fill.  Each rank then pulls ONE
+    fused [ckpt | 8 words] row and refines in-register: an 8-word
+    popcount prefix picks the word, a 5-step in-word binary search picks
+    the bit.  Gather rows are the budget here (flat cost per row 4-512B,
+    PERF.md): the fused row replaces the previous word-level design's two
+    4B streams (word_ckpt[w] + words[w]) with one stream, and the scatter
+    shrinks 8x — measured ~2x on the whole select at n=16.8M.
+    searchsorted alternatives are ~log2(n/32) gather passes over cap
+    lanes; the n-row byte-key sort this machinery replaced cost 0.50 s of
+    the 0.65 s packaging at 96 MiB (PERF.md round 2)."""
     words_flat = mark_bits.reshape(-1)                  # [n_words] uint32
-    wpc = jax.lax.population_count(words_flat).astype(jnp.int32)
-    word_ckpt = jnp.cumsum(wpc) - wpc                   # exclusive
+    nw = int(words_flat.shape[0])
+    G = _RS_GROUP
+    ngrp = -(-nw // G)
+    if ngrp * G != nw:
+        words_flat = jnp.concatenate(
+            [words_flat, jnp.zeros((ngrp * G - nw,), jnp.uint32)]
+        )
+    wg = words_flat.reshape(ngrp, G)
+    pc = jax.lax.population_count(wg).astype(jnp.int32)   # [ngrp, G]
+    gtot = jnp.sum(pc, axis=1)
+    gckpt = jnp.cumsum(gtot) - gtot                       # exclusive
+    fused = jnp.concatenate(
+        [gckpt.astype(jnp.uint32)[:, None], wg], axis=1
+    )                                                     # [ngrp, 1+G]
     g = jnp.arange(cap, dtype=jnp.int32)
-    w_at = (
+    s_at = (
         jnp.zeros((cap + 1,), jnp.int32)
-        .at[jnp.minimum(word_ckpt, cap)]
-        .max(jnp.arange(words_flat.shape[0], dtype=jnp.int32), mode="drop")
+        .at[jnp.minimum(gckpt, cap)]
+        .max(jnp.arange(ngrp, dtype=jnp.int32), mode="drop")
         [:cap]
     )
-    w = jax.lax.cummax(w_at)
-    rem = g - word_ckpt[w]                 # 0-based set-bit rank in word
-    cur = words_flat[w]
+    s = jax.lax.cummax(s_at)
+    rows = jnp.take(fused, s, axis=0)                     # [cap, 1+G]
+    rem = g - rows[:, 0].astype(jnp.int32)  # 0-based rank within group
+    wrow = rows[:, 1:]
+    pcr = jax.lax.population_count(wrow).astype(jnp.int32)
+    cumr = jnp.cumsum(pcr, axis=1)                        # inclusive
+    widx = jnp.sum((cumr <= rem[:, None]).astype(jnp.int32), axis=1)
+    widx_c = jnp.minimum(widx, G - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, G), 1)
+    sel = iota == widx_c[:, None]
+    prev = jnp.sum(jnp.where((iota == widx_c[:, None] - 1), cumr, 0), axis=1)
+    rem = rem - prev
+    cur = jnp.sum(jnp.where(sel, wrow, jnp.uint32(0)), axis=1,
+                  dtype=jnp.uint32)
     pos = jnp.zeros((cap,), jnp.int32)
     for half in (16, 8, 4, 2, 1):
         mask = jnp.uint32((1 << half) - 1)
@@ -269,7 +300,7 @@ def _mark_rank_select(mark_bits, n_marks, cap: int, n_limit: int):
         pos = pos + jnp.where(go_hi, half, 0)
         cur = jnp.where(go_hi, cur >> jnp.uint32(half), cur & mask)
     valid = g < n_marks
-    row = w * 32 + pos
+    row = (s * G + widx_c) * 32 + pos
     rowc = jnp.minimum(jnp.where(valid, row, 0), n_limit - 1)
     return valid, rowc
 
