@@ -120,6 +120,11 @@ def main():
         is_end = (pos % doc_size == doc_size - 1) | (pos == n - 1)
         return jnp.where(is_end, SEOF, text)
 
+    # the generator's alphabet is static: zipf letters + SEOF
+    alpha_np = np.sort(np.concatenate([
+        np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
+        .astype(np.int32) + CHARACTER_OFFSET,
+        np.asarray([SEOF], dtype=np.int32)]))
     text_dev = gen_text(jax.random.PRNGKey(1234))
     _ = int(text_dev[0])
     log("corpus synthesized on device")
@@ -140,7 +145,7 @@ def main():
             text_dev, doc_starts_dev, n=n, mark_period=mark_period,
             ndocs=ndocs,
         )
-        sa, pull = ft.suffix_array(text_dev, payload=payload)
+        sa, pull = ft.suffix_array(text_dev, payload=payload, alpha=alpha_np)
         _ = int(fingerprint((sa, pull)))
         return sa, pull
 

