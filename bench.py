@@ -243,6 +243,25 @@ def main():
     log(f"locate: {5*LB/(time.perf_counter()-t0)/1e6:.2f}M rows/s "
         f"(B={LB})")
 
+    # --- locate, direct tier (build_index(locate="direct"): the SA stays
+    # HBM-resident and locate is ONE gather per row) ---
+    @jax.jit
+    def loc_direct_step(sa_arr, rows, acc):
+        rows = (rows + jnp.minimum(acc, 0).astype(jnp.int32)) % n
+        offs = sa_arr[rows]
+        return acc + jnp.sum(offs), offs
+
+    acc = jnp.int32(0)
+    acc, offs = loc_direct_step(sa, rows, acc)
+    _ = int(acc)
+    acc = jnp.int32(0)
+    t0 = time.perf_counter()
+    for _i in range(20):
+        acc, offs = loc_direct_step(sa, rows, acc)
+    _ = int(acc)
+    log(f"locate (direct tier): "
+        f"{20*LB/(time.perf_counter()-t0)/1e6:.2f}M rows/s (B={LB})")
+
     target = 1e7  # BASELINE.md: >= 10M steps/s/chip
     print(json.dumps({
         "metric": "backward_search_steps_per_sec_per_chip",

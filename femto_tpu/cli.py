@@ -55,7 +55,7 @@ def cmd_index(args) -> int:
           file=sys.stderr)
     kw = dict(seg=args.seg, mark_period=args.mark_period,
               compact=args.compact, doc_chunks=args.doc_chunks,
-              tier=args.tier)
+              tier=args.tier, locate=args.locate_tier)
     from .multi import MAX_CHUNK_SYMBOLS, build_chunked_prepared
 
     if prepared.n > MAX_CHUNK_SYMBOLS:
@@ -427,6 +427,10 @@ def main(argv=None) -> int:
                         " BWT, smallest index)")
     s.add_argument("--doc-chunks", action="store_true",
                    help="store per-segment doc lists (fast doc queries)")
+    s.add_argument("--locate-tier", choices=["walk", "direct"],
+                   default="walk",
+                   help="direct = keep the full SA resident: locate is one"
+                        " gather (~25x faster, +4 B/char)")
     s.set_defaults(fn=cmd_index)
 
     s = sub.add_parser("search", help="query an index")

@@ -120,6 +120,13 @@ class FMIndex:
     # whole segments.  Host-side ragged arrays.
     chunk_doc_offsets_np: Optional[np.ndarray] = None  # int64[n_seg+1]
     chunk_docs_np: Optional[np.ndarray] = None         # int32[total]
+    # Optional direct-locate tier: the full suffix array, HBM-resident
+    # (int32[n]).  locate(row) = one gather instead of a ~mark_period-step
+    # LF walk (~25x the walk's throughput; +4 B/char).  The reference
+    # cannot afford this (its SA sample lives on disk, mark arrays
+    # block_format.txt:105-151); on TPU the memory/speed trade lands
+    # differently, so it ships as a tier (build_index(locate="direct")).
+    sa_direct: Optional[Any] = None  # int32[n] device array
 
     @property
     def n(self) -> int:
@@ -145,6 +152,8 @@ class FMIndex:
         if self.chunk_docs_np is not None:
             arrs["chunk_doc_offsets_np"] = self.chunk_doc_offsets_np
             arrs["chunk_docs_np"] = self.chunk_docs_np
+        if self.sa_direct is not None:
+            arrs["sa_direct"] = np.asarray(self.sa_direct)
         np.savez(os.path.join(path, "arrays.npz"), **arrs)
 
     @classmethod
@@ -168,10 +177,13 @@ class FMIndex:
                 vals["alpha_rev"] = np.arange(ALPHA_SIZE, dtype=np.int32)
             cdo = z["chunk_doc_offsets_np"] if "chunk_doc_offsets_np" in z.files else None
             cdv = z["chunk_docs_np"] if "chunk_docs_np" in z.files else None
+            sa_direct = (jnp.asarray(z["sa_direct"])
+                         if "sa_direct" in z.files else None)
             arrays = FMArrays(**{k: jnp.asarray(v) for k, v in vals.items()})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np,
-                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv)
+                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv,
+                   sa_direct=sa_direct)
 
     # ---- single-file flat format (the analog of flatten_index's
     #      page-aligned .femto file, index.c:2260-2366) ----
@@ -179,8 +191,15 @@ class FMIndex:
     MAGIC = b"FTPU0001"
     PAGE = 4096
 
-    def save_flat(self, path: str) -> None:
-        """Pack the whole index into one page-aligned file."""
+    def save_flat(self, path: str, compress: bool = False) -> None:
+        """Pack the whole index into one page-aligned file.
+
+        compress=True zlib-compresses each array blob — the storage-level
+        analog of the reference's RLE-gamma/Huffman bucket compression
+        (wtree.c:359-770; ChangeLog 1.1.0: 0.47 B per input byte on English
+        text).  The serving tier on TPU is HBM-resident arrays, so entropy
+        coding lives at the file boundary: compressed files cannot be
+        memory-mapped and are inflated on load."""
         meta = dataclasses.asdict(self.meta)
         meta["infos"] = [i.decode("utf-8", "surrogateescape") for i in self.infos]
         arrs = {k: np.ascontiguousarray(np.asarray(v))
@@ -192,14 +211,23 @@ class FMIndex:
             arrs["chunk_doc_offsets_np"] = np.ascontiguousarray(
                 self.chunk_doc_offsets_np)
             arrs["chunk_docs_np"] = np.ascontiguousarray(self.chunk_docs_np)
+        if self.sa_direct is not None:
+            arrs["sa_direct"] = np.ascontiguousarray(np.asarray(self.sa_direct))
         manifest = []
         # header is written last (need offsets); reserve after computing
         blobs = []
         for name, a in arrs.items():
-            manifest.append(
-                {"name": name, "dtype": str(a.dtype), "shape": list(a.shape)}
-            )
-            blobs.append(a.tobytes())
+            entry = {"name": name, "dtype": str(a.dtype),
+                     "shape": list(a.shape)}
+            b = a.tobytes()
+            if compress:
+                import zlib
+
+                b = zlib.compress(b, level=6)
+                entry["codec"] = "zlib"
+                entry["csize"] = len(b)
+            manifest.append(entry)
+            blobs.append(b)
         # two passes: compute offsets with a conservative header size, then
         # write everything once
         probe = json.dumps({"meta": meta, "arrays": manifest}).encode()
@@ -235,14 +263,23 @@ class FMIndex:
         meta = FMMeta(**meta_d)
         arrs = {}
         for m in header["arrays"]:
-            mm = np.memmap(
-                path,
-                dtype=np.dtype(m["dtype"]),
-                mode="r",
-                offset=m["offset"],
-                shape=tuple(m["shape"]),
-            )
-            arrs[m["name"]] = mm
+            if m.get("codec") == "zlib":
+                import zlib
+
+                with open(path, "rb") as f:
+                    f.seek(m["offset"])
+                    raw = zlib.decompress(f.read(m["csize"]))
+                arrs[m["name"]] = np.frombuffer(
+                    raw, dtype=np.dtype(m["dtype"])
+                ).reshape(tuple(m["shape"]))
+            else:
+                arrs[m["name"]] = np.memmap(
+                    path,
+                    dtype=np.dtype(m["dtype"]),
+                    mode="r",
+                    offset=m["offset"],
+                    shape=tuple(m["shape"]),
+                )
         doc_starts_np = np.asarray(arrs.pop("doc_starts_np"))
         header_lens_np = None
         if "header_lens_np" in arrs:
@@ -256,10 +293,13 @@ class FMIndex:
                if "chunk_doc_offsets_np" in arrs else None)
         cdv = (np.asarray(arrs.pop("chunk_docs_np"))
                if "chunk_docs_np" in arrs else None)
+        sa_direct = (jnp.asarray(arrs.pop("sa_direct"))
+                     if "sa_direct" in arrs else None)
         arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np,
-                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv)
+                   chunk_doc_offsets_np=cdo, chunk_docs_np=cdv,
+                   sa_direct=sa_direct)
 
 
 def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
@@ -389,11 +429,16 @@ def build_index(
     compact: bool = False,
     doc_chunks: bool = False,
     tier: Optional[str] = None,
+    locate: str = "walk",
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
     tier: "full" (default), "compact", or "packed" (see FMArrays docstring;
     compact=True is the back-compat spelling of tier="compact").
+
+    locate: "walk" (default; mark-sampled LF walk, memory-lean) or
+    "direct" (keep the whole suffix array HBM-resident: locate = one
+    gather, ~25x the walk throughput, +4 B/char — see FMIndex.sa_direct).
 
     checkpoint_dir: if set, the suffix array is materialized there after the
     sort phase and reused on re-runs — the analog of the reference's
@@ -478,12 +523,19 @@ def build_index(
             prepared.text, sa, prepared.doc_starts, seg=seg,
             mark_period=mark_period,
         )
+    if locate not in ("walk", "direct"):
+        raise ValueError(f"unknown locate tier {locate!r}")
     index = FMIndex(
         arrays=arrays,
         meta=meta,
         doc_starts_np=prepared.doc_starts.astype(np.int64),
         infos=list(prepared.infos),
         header_lens_np=prepared.header_lens,
+        sa_direct=(
+            (sa_dev if device_build else jnp.asarray(
+                np.asarray(sa, dtype=np.int32)))
+            if locate == "direct" else None
+        ),
     )
     if doc_chunks:
         sa_np = np.asarray(sa_dev if device_build else sa).astype(np.int64)

@@ -64,6 +64,20 @@ def _locate_jit(arrays, n, mark_period, rows):
     return S._locate_rows_jit(arrays, mark_period, rows)
 
 
+@jax.jit
+def _locate_direct_jit(sa_direct, rows):
+    """Direct-locate tier: offset = SA[row], one gather (FMIndex.sa_direct)."""
+    return sa_direct[rows]
+
+
+def _locate_rows_dispatch(index: FMIndex, rows: jax.Array):
+    if index.sa_direct is not None:
+        return _locate_direct_jit(index.sa_direct, rows)
+    return _locate_jit(
+        index.arrays, index.meta.n, index.meta.mark_period, rows
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _docs_jit(arrays, n, offs):
     doc = jnp.searchsorted(arrays.doc_starts, offs, side="right").astype(jnp.int32) - 1
@@ -114,10 +128,7 @@ def locate_range(
     Bp = _bucket(m)
     rows = np.full(Bp, 0, dtype=np.int32)
     rows[:m] = np.arange(first, first + m, dtype=np.int32)
-    offs = _locate_jit(
-        index.arrays, index.meta.n, index.meta.mark_period,
-        jnp.asarray(rows),
-    )
+    offs = _locate_rows_dispatch(index, jnp.asarray(rows))
     return np.asarray(offs)[:m].astype(np.int64)
 
 
@@ -241,10 +252,7 @@ def locate_rows_array(index: FMIndex, rows: np.ndarray) -> np.ndarray:
     Bp = _bucket(m)
     rr = np.zeros(Bp, dtype=np.int32)
     rr[:m] = rows
-    offs = _locate_jit(
-        index.arrays, index.meta.n, index.meta.mark_period,
-        jnp.asarray(rr),
-    )
+    offs = _locate_rows_dispatch(index, jnp.asarray(rr))
     return np.asarray(offs)[:m].astype(np.int64)
 
 

@@ -91,6 +91,42 @@ def test_locate_parity(small_index):
         assert got == want, (p, got, want)
 
 
+def test_locate_direct_tier(small_index, tmp_path):
+    """locate='direct' (HBM-resident SA; one gather per row) must agree
+    with the mark-walk tier and survive both save formats."""
+    docs, _ = small_index
+    prepared = ft.prepare_documents(docs)
+    index = ft.build_index(prepared, seg=64, mark_period=8, locate="direct")
+    assert index.sa_direct is not None
+    for p in [b"banana", b"an", b"the", b"\x00", b"fox"]:
+        assert ft.locate(index, p) == naive_locate(docs, p), p
+    index.save(str(tmp_path / "idx_dir"))
+    r1 = ft.FMIndex.load(str(tmp_path / "idx_dir"))
+    assert r1.sa_direct is not None
+    index.save_flat(str(tmp_path / "idx.ftpu"))
+    r2 = ft.FMIndex.load(str(tmp_path / "idx.ftpu"))
+    assert r2.sa_direct is not None
+    for r in (r1, r2):
+        assert ft.locate(r, b"an") == naive_locate(docs, b"an")
+
+
+def test_flat_compressed_roundtrip(small_index, tmp_path):
+    """save_flat(compress=True): zlib-coded blobs, identical index after
+    load, and smaller than the raw flat file on text-ish corpora."""
+    import os
+
+    docs, index = small_index
+    raw = str(tmp_path / "raw.ftpu")
+    comp = str(tmp_path / "comp.ftpu")
+    index.save_flat(raw)
+    index.save_flat(comp, compress=True)
+    assert os.path.getsize(comp) < os.path.getsize(raw)
+    r = ft.FMIndex.load(comp)
+    for p in [b"banana", b"an", b"\x00", b"fox"]:
+        assert ft.locate(r, p) == naive_locate(docs, p), p
+    assert ft.extract_document(r, 3) == docs[3]
+
+
 def test_empty_pattern(small_index):
     docs, index = small_index
     assert ft.count(index, [b""])[0] == index.meta.n
