@@ -481,6 +481,11 @@ def build_index(
         text_dev = jnp.asarray(prepared.text.astype(np.int32))
         doc_starts_dev = jnp.asarray(prepared.doc_starts.astype(np.int32))
         pull = None
+        # the corpus is host-resident: one bincount gives the symbol set,
+        # sparing suffix_array its device histogram + host round-trip
+        alpha_np = np.nonzero(
+            np.bincount(prepared.text, minlength=ALPHA_SIZE)
+        )[0].astype(np.int32)
         if sa is None and prepared.num_docs < _FUSE_DOC_LIMIT:
             # fused path: the suffix sort carries the BWT+aux word as a
             # free payload operand, skipping the O(n) packaging gather
@@ -488,10 +493,11 @@ def build_index(
                 text_dev, doc_starts_dev, n=n, mark_period=mark_period,
                 ndocs=prepared.num_docs,
             )
-            sa_dev, pull = suffix_array(text_dev, payload=payload)
+            sa_dev, pull = suffix_array(text_dev, payload=payload,
+                                        alpha=alpha_np)
         else:
             sa_dev = (
-                suffix_array(text_dev) if sa is None
+                suffix_array(text_dev, alpha=alpha_np) if sa is None
                 else jnp.asarray(np.asarray(sa, dtype=np.int32))
             )
         arrays, n_marks, alpha_used = build_fm_arrays_device(
