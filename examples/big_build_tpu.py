@@ -71,17 +71,25 @@ def main():
         return tot
 
     needle_dev = jnp.asarray(needle.astype(np.int32))
-    # static per-chunk alphabet: zipf letters + SEOF + needle symbols
+    # static per-chunk alphabet: zipf letters + SEOF + needle symbols,
+    # plus 0 (the tail chunk's pad symbol — every chunk builds at ONE
+    # uniform shape so the whole run compiles once)
     alpha_np = np.unique(np.concatenate([
         np.frombuffer(b"etaoin shrdlucmfwypvbgkqjxz.,\n", dtype=np.uint8)
         .astype(np.int32) + CHARACTER_OFFSET,
-        np.asarray([SEOF], dtype=np.int32),
+        np.asarray([0, SEOF], dtype=np.int32),
         needle.astype(np.int32)]))
+
+    n_uniform = docs_per_chunk * doc_size
 
     def gen_chunk(d0: int, ndc: int):
         """Synthesize docs [d0, d0+ndc) on device: zipf letters + SEOF
-        trailers + planted needles."""
-        n_c = ndc * doc_size
+        trailers + planted needles.  Always returns n_uniform symbols —
+        a ragged tail is padded with trailing 0s, the same trailing-
+        ESCAPE(0) scheme as the sharded builds (dist_build.py), so the
+        tail reuses the uniform chunk's compiled programs (the ragged
+        shape previously cost a second 178 s full compile, PERF.md)."""
+        n_real = ndc * doc_size
 
         @jax.jit
         def gen(key):
@@ -92,11 +100,12 @@ def main():
             )
             probs = 1.0 / np.arange(1, 31, dtype=np.float32)
             logits = jnp.log(jnp.asarray(probs / probs.sum()))
-            ix = jax.random.categorical(key, logits, shape=(n_c,))
+            ix = jax.random.categorical(key, logits, shape=(n_uniform,))
             text = letters[ix]
-            pos = jnp.arange(n_c, dtype=jnp.int32)
+            pos = jnp.arange(n_uniform, dtype=jnp.int32)
             is_end = pos % doc_size == doc_size - 1
-            return jnp.where(is_end, SEOF, text)
+            text = jnp.where(is_end, SEOF, text)
+            return jnp.where(pos < n_real, text, 0)
 
         text = gen(jax.random.PRNGKey(1234 + d0))
         for d in needle_docs:
@@ -121,13 +130,19 @@ def main():
 
         t0 = time.perf_counter()
         doc_starts_np = np.arange(ndc + 1, dtype=np.int64) * doc_size
-        doc_starts_dev = jnp.asarray(doc_starts_np.astype(np.int32))
+        # uniform build shapes: doc_starts padded with degenerate empty
+        # docs (duplicate n_c boundaries), text with trailing 0s
+        doc_starts_pad = np.full(docs_per_chunk + 1, n_c, np.int32)
+        doc_starts_pad[: ndc + 1] = doc_starts_np
+        doc_starts_dev = jnp.asarray(doc_starts_pad)
         payload = build_sa_payload(
-            text, doc_starts_dev, n=n_c, mark_period=mark_period, ndocs=ndc)
+            text, doc_starts_dev, n=n_uniform, mark_period=mark_period,
+            ndocs=docs_per_chunk)
         sa, pull = ft.suffix_array(text, payload=payload, alpha=alpha_np)
         arrays, n_marks, alpha_used = build_fm_arrays_device(
-            text, sa, doc_starts_dev, n=n_c, seg=seg,
-            mark_period=mark_period, ndocs=ndc, tier=tier, pull=pull)
+            text, sa, doc_starts_dev, n=n_uniform, seg=seg,
+            mark_period=mark_period, ndocs=docs_per_chunk, tier=tier,
+            pull=pull)
         _ = int(fingerprint(arrays))
         dt_build = time.perf_counter() - t0
         t_build_total += dt_build
@@ -136,7 +151,8 @@ def main():
         del text, payload, sa, pull
         meta = FMMeta(n=n_c, seg=seg, mark_period=mark_period, num_docs=ndc,
                       n_marks=int(n_marks), n_seg=int(arrays.bwt.shape[0]),
-                      alpha_used=alpha_used)
+                      alpha_used=alpha_used,
+                      n_rows=n_uniform, row0=n_uniform - n_c)
         index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                         infos=[b"doc%d" % (d0 + i) for i in range(ndc)])
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -60,7 +61,21 @@ def cmd_index(args) -> int:
 
     if prepared.n > MAX_CHUNK_SYMBOLS:
         # >2^31-symbol corpora: per-chunk int32 row ids, global int64
-        # doc ids/offsets (reference: 39-bit offsets, index_tool.cc:45)
+        # doc ids/offsets (reference: 39-bit offsets, index_tool.cc:45).
+        # Chunked builds re-enter one uniform shape across chunks AND
+        # across runs, so the persistent compile cache defaults ON here
+        # (FEMTO_TPU_COMPILE_CACHE=0 opts out; fresh-shape compiles cost
+        # minutes through a remote tunnel, PERF.md round 2).
+        if os.environ.get("FEMTO_TPU_COMPILE_CACHE", "1") != "0":
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache"),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         mi = build_chunked_prepared(prepared, **kw)
         mi.save(args.out)
         print(f"chunked into {len(mi.indexes)} sub-indexes",

@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, List, NamedTuple, Optional
+from typing import Any, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -430,6 +430,7 @@ def build_index(
     doc_chunks: bool = False,
     tier: Optional[str] = None,
     locate: str = "walk",
+    pad_shape: Optional[Tuple[int, int]] = None,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
@@ -444,6 +445,16 @@ def build_index(
     sort phase and reused on re-runs — the analog of the reference's
     disk-materialized per-phase bin files (dcx.hh:846-861), giving builds a
     resume point.
+
+    pad_shape: optional (n_pad, ndocs_pad) SHAPE BUCKET.  The text is
+    padded with trailing 0 symbols and doc_starts with degenerate empty
+    docs, so every build with the same pad_shape compiles ONCE — the fix
+    for ragged chunk recompiles in chunked >2^31 builds (a fresh-shape
+    compile costs minutes through the remote tunnel, PERF.md round 2).
+    Pad suffixes are all-zero strings that sort first and can match no
+    pattern (the same trailing-ESCAPE(0) scheme as the sharded builds,
+    parallel/dist_build.py): the index keeps them as `meta.row0` leading
+    rows and queries run over [row0, n_rows) unchanged.
     """
     from .metrics import metrics
     from .suffix import suffix_array
@@ -473,25 +484,50 @@ def build_index(
                 )
             os.makedirs(checkpoint_dir, exist_ok=True)
             np.save(ckpt_path, sa)
+    if pad_shape is not None:
+        n_build, ndocs_build = pad_shape
+        if not device_build:
+            raise ValueError("pad_shape requires device_build=True")
+        if doc_chunks:
+            raise ValueError("pad_shape does not support doc_chunks")
+        if sa is not None or checkpoint_dir is not None:
+            raise ValueError("pad_shape is incompatible with a "
+                             "precomputed/checkpointed suffix array")
+        if n_build < n or ndocs_build < prepared.num_docs:
+            raise ValueError("pad_shape smaller than the corpus")
+    else:
+        n_build, ndocs_build = n, prepared.num_docs
     if device_build:
         from .ops.build_ops import (
             _FUSE_DOC_LIMIT, build_fm_arrays_device, build_sa_payload,
         )
 
-        text_dev = jnp.asarray(prepared.text.astype(np.int32))
-        doc_starts_dev = jnp.asarray(prepared.doc_starts.astype(np.int32))
+        text_np = prepared.text.astype(np.int32)
+        doc_starts_np32 = prepared.doc_starts.astype(np.int32)
+        if n_build > n or ndocs_build > prepared.num_docs:
+            text_np = np.concatenate(
+                [text_np, np.zeros(n_build - n, np.int32)]
+            )
+            doc_starts_np32 = np.concatenate([
+                doc_starts_np32,
+                np.full(ndocs_build - prepared.num_docs, n, np.int32),
+            ])
+        text_dev = jnp.asarray(text_np)
+        doc_starts_dev = jnp.asarray(doc_starts_np32)
         pull = None
         # the corpus is host-resident: one bincount gives the symbol set,
         # sparing suffix_array its device histogram + host round-trip
         alpha_np = np.nonzero(
             np.bincount(prepared.text, minlength=ALPHA_SIZE)
         )[0].astype(np.int32)
-        if sa is None and prepared.num_docs < _FUSE_DOC_LIMIT:
+        if n_build > n and alpha_np[0] != 0:
+            alpha_np = np.concatenate([np.zeros(1, np.int32), alpha_np])
+        if sa is None and ndocs_build < _FUSE_DOC_LIMIT:
             # fused path: the suffix sort carries the BWT+aux word as a
             # free payload operand, skipping the O(n) packaging gather
             payload = build_sa_payload(
-                text_dev, doc_starts_dev, n=n, mark_period=mark_period,
-                ndocs=prepared.num_docs,
+                text_dev, doc_starts_dev, n=n_build, mark_period=mark_period,
+                ndocs=ndocs_build,
             )
             sa_dev, pull = suffix_array(text_dev, payload=payload,
                                         alpha=alpha_np)
@@ -504,10 +540,10 @@ def build_index(
             text_dev,
             sa_dev,
             doc_starts_dev,
-            n=n,
+            n=n_build,
             seg=seg,
             mark_period=mark_period,
-            ndocs=prepared.num_docs,
+            ndocs=ndocs_build,
             tier=tier,
             pull=pull,
         )
@@ -519,6 +555,8 @@ def build_index(
             n_marks=int(n_marks),
             n_seg=int(arrays.bwt.shape[0]),
             alpha_used=alpha_used,
+            n_rows=n_build,
+            row0=n_build - n,
         )
     else:
         if sa is None:

@@ -140,6 +140,7 @@ MAX_CHUNK_SYMBOLS = 2**31 - 2**24
 
 
 def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
+                           uniform: bool = True,
                            **build_kwargs) -> MultiIndex:
     """Build a MultiIndex from one PreparedText, splitting at document
     boundaries so each chunk stays under max_chunk_symbols.
@@ -147,13 +148,22 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
     This is the >2^31-symbol path (the reference handles 512 GiB texts with
     39-bit offsets, index_tool.cc:45-46): per-chunk row ids stay int32 on
     device, while doc ids and offsets compose to global int64 on the host —
-    exactly the per-shard-int32 / int64-composition scheme of SURVEY §7."""
+    exactly the per-shard-int32 / int64-composition scheme of SURVEY §7.
+
+    uniform=True (default) buckets every chunk to one shared build shape
+    (max chunk symbols/docs, via build_index's pad_shape): chunk
+    boundaries fall on doc edges, so chunk sizes are ragged, and each
+    distinct size would otherwise recompile the whole build pipeline —
+    minutes per shape through a remote tunnel (PERF.md: the ragged tail
+    chunk of the 2.16G-symbol build cost a 178 s second compile).  With
+    uniform shapes the entire chunked build compiles ONCE."""
     from .alphabet import PreparedText
     from .fmindex import build_index
 
     starts = prepared.doc_starts
     ndocs = prepared.num_docs
-    indexes = []
+    # pass 1: chunk boundaries (host-only arithmetic over doc_starts)
+    bounds = []  # (d0, d1)
     d0 = 0
     while d0 < ndocs:
         base = int(starts[d0])
@@ -164,6 +174,17 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             raise ValueError(
                 f"document {d0} alone exceeds max_chunk_symbols"
             )
+        bounds.append((d0, d1))
+        d0 = d1
+    pad_shape = None
+    if uniform and len(bounds) > 1 and not build_kwargs.get("doc_chunks"):
+        pad_shape = (
+            max(int(starts[d1]) - int(starts[d0]) for d0, d1 in bounds),
+            max(d1 - d0 for d0, d1 in bounds),
+        )
+    indexes = []
+    for d0, d1 in bounds:
+        base = int(starts[d0])
         sub = PreparedText(
             text=prepared.text[base: int(starts[d1])],
             doc_starts=(starts[d0: d1 + 1] - base),
@@ -171,8 +192,7 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             header_lens=(None if prepared.header_lens is None
                          else prepared.header_lens[d0: d1]),
         )
-        indexes.append(build_index(sub, **build_kwargs))
-        d0 = d1
+        indexes.append(build_index(sub, pad_shape=pad_shape, **build_kwargs))
     return MultiIndex(indexes)
 
 

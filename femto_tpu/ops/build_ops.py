@@ -48,11 +48,17 @@ def _bwt_stage(text, sa, *, n, n_pad):
 def _aux_positions(doc_starts, *, n, mark_period, ndocs):
     """Per-position aux word: bit0 = should_mark (index_types.h:134-144,
     via an O(n) cummax doc-start propagation), bits1.. = doc id + 1 at the
-    doc's SEOF position."""
+    doc's SEOF position.
+
+    Degenerate (empty) docs — the trailing doc_starts padding of a
+    shape-bucketed build (fmindex.build_index pad_shape) — are dropped
+    from the SEOF scatter so their duplicate boundary offsets cannot
+    overwrite the real last doc's tag."""
     idx = jnp.arange(n, dtype=jnp.int32)
-    seof_pos = doc_starts[1:] - 1
+    nonempty = doc_starts[1:] > doc_starts[:-1]
+    seof_pos = jnp.where(nonempty, doc_starts[1:] - 1, n)
     tag = jnp.zeros((n,), jnp.int32).at[seof_pos].set(
-        jnp.arange(1, ndocs + 1, dtype=jnp.int32)
+        jnp.arange(1, ndocs + 1, dtype=jnp.int32), mode="drop"
     )
     if mark_period == 0:
         marked_pos = jnp.zeros((n,), bool)

@@ -217,7 +217,9 @@ def extract_all_documents(index: FMIndex) -> List[bytes]:
         return [b""] * ndocs
     Bp = _bucket(ndocs)
     rows = np.zeros(Bp, dtype=np.int32)
-    rows[:ndocs] = np.asarray(index.arrays.doc_seof_rows)
+    # shape-bucketed builds (pad_shape) carry degenerate trailing doc
+    # slots in the device arrays; only the real docs are extracted
+    rows[:ndocs] = np.asarray(index.arrays.doc_seof_rows)[:ndocs]
     chars, _ = _extract_jit(index.arrays, index.meta.n, jnp.asarray(rows),
                             maxlen)
     chars = np.asarray(chars)[:ndocs]

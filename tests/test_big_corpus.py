@@ -41,6 +41,63 @@ def test_chunked_prepared_mechanism(rng):
         assert isinstance(got, MultiIndex)
 
 
+def test_pad_shape_parity(rng):
+    """Shape-bucketed builds (build_index pad_shape): the padded index
+    answers every query identically to the unpadded one.  Pad suffixes
+    are trailing-0 strings that sort into the row0 leading rows, the
+    same scheme the sharded builds use (dist_build.py)."""
+    from femto_tpu.search import extract_all_documents
+
+    docs = [bytes(rng.integers(97, 103, size=int(rng.integers(30, 300)))
+                  .astype(np.uint8)) for _ in range(7)]
+    prepared = ft.prepare_documents(docs)
+    pats = [b"ab", b"ba", b"aa", docs[3][:5], docs[6][-4:], b"zzz"]
+    for tier in ("full", "packed"):
+        base = ft.build_index(prepared, seg=64, mark_period=8, tier=tier)
+        pad = ft.build_index(
+            prepared, seg=64, mark_period=8, tier=tier,
+            pad_shape=(prepared.n + 333, prepared.num_docs + 3),
+        )
+        assert pad.meta.row0 == 333
+        assert pad.meta.n_rows == prepared.n + 333
+        assert pad.meta.n == base.meta.n
+        assert pad.meta.num_docs == base.meta.num_docs
+        for pat in pats:
+            assert int(ft.count(pad, [pat])[0]) == int(
+                ft.count(base, [pat])[0]
+            ) == naive_count(docs, pat)
+            assert ft.locate(pad, pat) == naive_locate(docs, pat)
+        assert extract_all_documents(pad) == docs
+    # save/load round-trips row0/n_rows
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "padded")
+        pad.save(p)
+        ix2 = ft.FMIndex.load(p)
+        assert ix2.meta.row0 == 333
+        assert ft.locate(ix2, b"ab") == naive_locate(docs, b"ab")
+
+
+def test_chunked_uniform_shapes(rng):
+    """uniform=True chunked builds share ONE build shape: every chunk
+    compiles to identical n_rows/n_seg (the ragged-tail recompile fix)."""
+    docs = [bytes(rng.integers(97, 103, size=int(rng.integers(50, 400)))
+                  .astype(np.uint8)) for _ in range(12)]
+    prepared = ft.prepare_documents(docs)
+    mi = build_chunked_prepared(prepared, max_chunk_symbols=700,
+                                seg=64, mark_period=8)
+    assert len(mi.indexes) >= 3
+    shapes = {(ix.meta.n_rows, ix.meta.n_seg, ix.arrays.mark_vals.shape[0])
+              for ix in mi.indexes}
+    assert len(shapes) == 1, shapes
+    # and the non-uniform spelling still works
+    mi2 = build_chunked_prepared(prepared, max_chunk_symbols=700,
+                                 uniform=False, seg=64, mark_period=8)
+    for pat in [b"ab", b"ba", b"zzz"]:
+        assert (int(mi.count([pat])[0]) == int(mi2.count([pat])[0])
+                == naive_count(docs, pat))
+        assert mi.locate(pat) == naive_locate(docs, pat)
+
+
 def test_chunked_oversized_doc_raises(rng):
     docs = [b"x" * 300]
     prepared = ft.prepare_documents(docs)
