@@ -47,6 +47,66 @@ DEFAULT_MARK_PERIOD = 20
 L1_GROUP = 16  # segments per L1 checkpoint group (compact tier)
 
 
+# Host->device text uploads dominate chunked big-build time on
+# remote-attached TPUs (measured ~30 MB/s through the tunnel, PERF.md), so
+# the text never ships as int32:
+#   * uint8 bulk + on-device escape fixup (4x smaller): the prepared-text
+#     layout ([SOH hdr EOH]? content SEOF per doc, alphabet.py) puts every
+#     escape symbol at a position derivable from doc_starts/header_lens,
+#     and (text - CHARACTER_OFFSET) mod 256 is exactly the content byte
+#     elsewhere — verified host-side per build, falling back to
+#   * uint16 bulk (2x smaller), widened on device.
+_widen_i32 = jax.jit(lambda t: t.astype(jnp.int32))
+
+
+@jax.jit
+def _expand_u8(u8, n_real, seof_pos, soh_pos, eoh_pos):
+    from .alphabet import CHARACTER_OFFSET as OFF
+    from .alphabet import EOH, SEOF, SOH
+
+    t = u8.astype(jnp.int32) + OFF
+    pos = jnp.arange(u8.shape[0], dtype=jnp.int32)
+    t = jnp.where(pos < n_real, t, 0)  # pad tail = ESCAPE(0)
+    t = t.at[seof_pos].set(SEOF, mode="drop")
+    t = t.at[soh_pos].set(SOH, mode="drop")
+    t = t.at[eoh_pos].set(EOH, mode="drop")
+    return t
+
+
+def _escape_positions(prepared, ndocs_build: int):
+    """(seof_pos, soh_pos, eoh_pos) int32 arrays padded to ndocs_build with
+    -1 (dropped by the device scatter), or None if the text contains escape
+    symbols NOT derivable from the doc layout (manually built PreparedText)."""
+    starts = prepared.doc_starts
+    ndocs = prepared.num_docs
+    seof = (starts[1:] - 1).astype(np.int64)
+    n_hdr = 0
+    soh = eoh = None
+    if prepared.header_lens is not None:
+        h = prepared.header_lens
+        hd = np.flatnonzero(h > 0)
+        n_hdr = len(hd)
+        soh = starts[hd]
+        eoh = starts[hd] + h[hd] - 1
+    text = prepared.text
+    if not (
+        np.all(text[seof] == SEOF)
+        and (n_hdr == 0 or (np.all(text[soh] == SOH)
+                            and np.all(text[eoh] == EOH)))
+        and int(np.count_nonzero(text < CHARACTER_OFFSET))
+        == ndocs + 2 * n_hdr
+    ):
+        return None
+
+    def pad(a):
+        out = np.full(ndocs_build, -1, np.int32)
+        if a is not None:
+            out[: len(a)] = a.astype(np.int32)
+        return out
+
+    return pad(seof), pad(soh), pad(eoh)
+
+
 class FMArrays(NamedTuple):
     """Device-array portion of the index (a pytree leaf bundle).
 
@@ -431,6 +491,7 @@ def build_index(
     tier: Optional[str] = None,
     locate: str = "walk",
     pad_shape: Optional[Tuple[int, int]] = None,
+    text_dev16: Optional[jax.Array] = None,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
@@ -455,6 +516,12 @@ def build_index(
     pattern (the same trailing-ESCAPE(0) scheme as the sharded builds,
     parallel/dist_build.py): the index keeps them as `meta.row0` leading
     rows and queries run over [row0, n_rows) unchanged.
+
+    text_dev16: optional device-resident uint16[n_build] copy of the
+    (padded) prepared text, e.g. prefetched by build_chunked_prepared while
+    the previous chunk was building.  Host->device transfers dominate
+    chunked big-build time on remote-attached TPUs, so the text ships as
+    uint16 (symbols < 261) and is widened to int32 on device.
     """
     from .metrics import metrics
     from .suffix import suffix_array
@@ -466,6 +533,8 @@ def build_index(
         raise ValueError("cannot index an empty corpus")
     if tier != "full" and not device_build:
         raise ValueError("compact/packed tiers require device_build=True")
+    if text_dev16 is not None and not device_build:
+        raise ValueError("text_dev16 requires device_build=True")
     if n >= 2**31:
         raise ValueError(
             "single-index corpora are limited to 2^31 symbols (int32 row "
@@ -502,17 +571,22 @@ def build_index(
             _FUSE_DOC_LIMIT, build_fm_arrays_device, build_sa_payload,
         )
 
-        text_np = prepared.text.astype(np.int32)
         doc_starts_np32 = prepared.doc_starts.astype(np.int32)
-        if n_build > n or ndocs_build > prepared.num_docs:
-            text_np = np.concatenate(
-                [text_np, np.zeros(n_build - n, np.int32)]
-            )
+        if ndocs_build > prepared.num_docs:
             doc_starts_np32 = np.concatenate([
                 doc_starts_np32,
                 np.full(ndocs_build - prepared.num_docs, n, np.int32),
             ])
-        text_dev = jnp.asarray(text_np)
+        if text_dev16 is None:
+            text16 = prepared.text  # uint16: half the transfer of int32
+            if n_build > n:
+                text16 = np.concatenate(
+                    [text16, np.zeros(n_build - n, np.uint16)]
+                )
+            text_dev16 = jnp.asarray(text16)
+        elif text_dev16.shape[0] != n_build or text_dev16.dtype != jnp.uint16:
+            raise ValueError("text_dev16 must be uint16[n_build]")
+        text_dev = _widen_i32(text_dev16)
         doc_starts_dev = jnp.asarray(doc_starts_np32)
         pull = None
         # the corpus is host-resident: one bincount gives the symbol set,

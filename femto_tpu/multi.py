@@ -156,7 +156,15 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
     distinct size would otherwise recompile the whole build pipeline —
     minutes per shape through a remote tunnel (PERF.md: the ragged tail
     chunk of the 2.16G-symbol build cost a 178 s second compile).  With
-    uniform shapes the entire chunked build compiles ONCE."""
+    uniform shapes the entire chunked build compiles ONCE.
+
+    Chunk text uploads are double-buffered: chunk i+1's uint16 text is
+    enqueued to the device before chunk i's build runs, so the transfer
+    rides under the build's compute — the tile-pipe IO/compute overlap of
+    the reference's pipeline_node dataflow (pipelining.hh:480-870), at
+    chunk granularity."""
+    import jax
+
     from .alphabet import PreparedText
     from .fmindex import build_index
 
@@ -182,8 +190,21 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             max(int(starts[d1]) - int(starts[d0]) for d0, d1 in bounds),
             max(d1 - d0 for d0, d1 in bounds),
         )
+
+    def chunk_text16(i: int):
+        """Host uint16 text of chunk i, padded to the uniform shape."""
+        d0, d1 = bounds[i]
+        t = prepared.text[int(starts[d0]): int(starts[d1])]
+        if pad_shape is not None and len(t) < pad_shape[0]:
+            t = np.concatenate(
+                [t, np.zeros(pad_shape[0] - len(t), np.uint16)]
+            )
+        return np.ascontiguousarray(t)
+
+    device_build = build_kwargs.get("device_build", True)
     indexes = []
-    for d0, d1 in bounds:
+    pending = jax.device_put(chunk_text16(0)) if device_build else None
+    for i, (d0, d1) in enumerate(bounds):
         base = int(starts[d0])
         sub = PreparedText(
             text=prepared.text[base: int(starts[d1])],
@@ -192,7 +213,12 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             header_lens=(None if prepared.header_lens is None
                          else prepared.header_lens[d0: d1]),
         )
-        indexes.append(build_index(sub, pad_shape=pad_shape, **build_kwargs))
+        tdev, pending = pending, None
+        if device_build and i + 1 < len(bounds):
+            # enqueue the NEXT chunk's upload before this build dispatches
+            pending = jax.device_put(chunk_text16(i + 1))
+        indexes.append(build_index(sub, pad_shape=pad_shape,
+                                   text_dev16=tdev, **build_kwargs))
     return MultiIndex(indexes)
 
 
