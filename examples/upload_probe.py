@@ -59,17 +59,23 @@ def main():
                 f" materialized {t_all*1e3:.1f} ms ({arr.nbytes/2**20:.0f} MB"
                 f" -> {arr.nbytes/2**20/t_all:.0f} MB/s), digest={v}")
 
-    # overlap: put + busy vs busy alone vs put alone
+    # overlap: put + busy vs busy alone vs a DEDICATED put-alone baseline
+    # (not a leaked loop variable, which measured the wrong rep)
     t0 = time.perf_counter()
     s = float(busy(m))
     t_busy = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d0 = jax.device_put(t16)
+    _ = int(digest(d0))
+    t_put_alone = time.perf_counter() - t0
     t0 = time.perf_counter()
     d = jax.device_put(t16)
     s2 = float(busy(m))
     v = int(digest(d))
     t_both = time.perf_counter() - t0
-    log(f"busy alone {t_busy*1e3:.1f} ms; put+busy+digest {t_both*1e3:.1f} ms"
-        f" (overlap saves {'YES' if t_both < t_busy + 0.8 * t_all else 'no'})")
+    log(f"busy alone {t_busy*1e3:.1f} ms; put alone {t_put_alone*1e3:.1f} ms;"
+        f" put+busy+digest {t_both*1e3:.1f} ms (overlap saves "
+        f"{'YES' if t_both < t_busy + 0.8 * t_put_alone else 'no'})")
 
 
 if __name__ == "__main__":

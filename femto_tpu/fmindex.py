@@ -35,8 +35,12 @@ import numpy as np
 
 from .alphabet import (
     ALPHA_SIZE,
+    CHARACTER_OFFSET,
+    EOH,
     INVALID_ALPHA,
     PreparedText,
+    SEOF,
+    SOH,
     mark_positions_np,
 )
 
@@ -61,10 +65,10 @@ _widen_i32 = jax.jit(lambda t: t.astype(jnp.int32))
 
 @jax.jit
 def _expand_u8(u8, n_real, seof_pos, soh_pos, eoh_pos):
-    from .alphabet import CHARACTER_OFFSET as OFF
-    from .alphabet import EOH, SEOF, SOH
-
-    t = u8.astype(jnp.int32) + OFF
+    """Reconstruct int32 alphabet codes from raw content bytes + the escape
+    positions derived host-side by _escape_positions (pad slots in the
+    position arrays are -1, dropped by the scatter)."""
+    t = u8.astype(jnp.int32) + CHARACTER_OFFSET
     pos = jnp.arange(u8.shape[0], dtype=jnp.int32)
     t = jnp.where(pos < n_real, t, 0)  # pad tail = ESCAPE(0)
     t = t.at[seof_pos].set(SEOF, mode="drop")
@@ -75,8 +79,9 @@ def _expand_u8(u8, n_real, seof_pos, soh_pos, eoh_pos):
 
 def _escape_positions(prepared, ndocs_build: int):
     """(seof_pos, soh_pos, eoh_pos) int32 arrays padded to ndocs_build with
-    -1 (dropped by the device scatter), or None if the text contains escape
-    symbols NOT derivable from the doc layout (manually built PreparedText)."""
+    INT32_MAX (out-of-bounds, dropped by the device scatter — negative pads
+    would WRAP), or None if the text contains escape symbols NOT derivable
+    from the doc layout (manually built PreparedText)."""
     starts = prepared.doc_starts
     ndocs = prepared.num_docs
     seof = (starts[1:] - 1).astype(np.int64)
@@ -99,7 +104,7 @@ def _escape_positions(prepared, ndocs_build: int):
         return None
 
     def pad(a):
-        out = np.full(ndocs_build, -1, np.int32)
+        out = np.full(ndocs_build, np.iinfo(np.int32).max, np.int32)
         if a is not None:
             out[: len(a)] = a.astype(np.int32)
         return out
@@ -492,6 +497,7 @@ def build_index(
     locate: str = "walk",
     pad_shape: Optional[Tuple[int, int]] = None,
     text_dev16: Optional[jax.Array] = None,
+    text_dev32: Optional[jax.Array] = None,
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
@@ -522,6 +528,11 @@ def build_index(
     the previous chunk was building.  Host->device transfers dominate
     chunked big-build time on remote-attached TPUs, so the text ships as
     uint16 (symbols < 261) and is widened to int32 on device.
+
+    text_dev32: optional int32[n_build] device text with escapes already in
+    place — the uint8 bulk-upload path (4x smaller transfer): callers ship
+    raw content bytes and reconstruct escapes on device via _expand_u8 +
+    _escape_positions (build_chunked_prepared does this automatically).
     """
     from .metrics import metrics
     from .suffix import suffix_array
@@ -533,8 +544,11 @@ def build_index(
         raise ValueError("cannot index an empty corpus")
     if tier != "full" and not device_build:
         raise ValueError("compact/packed tiers require device_build=True")
-    if text_dev16 is not None and not device_build:
-        raise ValueError("text_dev16 requires device_build=True")
+    if (text_dev16 is not None or text_dev32 is not None) \
+            and not device_build:
+        raise ValueError("text_dev16/text_dev32 require device_build=True")
+    if text_dev16 is not None and text_dev32 is not None:
+        raise ValueError("pass at most one of text_dev16/text_dev32")
     if n >= 2**31:
         raise ValueError(
             "single-index corpora are limited to 2^31 symbols (int32 row "
@@ -577,16 +591,27 @@ def build_index(
                 doc_starts_np32,
                 np.full(ndocs_build - prepared.num_docs, n, np.int32),
             ])
-        if text_dev16 is None:
-            text16 = prepared.text  # uint16: half the transfer of int32
-            if n_build > n:
-                text16 = np.concatenate(
-                    [text16, np.zeros(n_build - n, np.uint16)]
-                )
-            text_dev16 = jnp.asarray(text16)
-        elif text_dev16.shape[0] != n_build or text_dev16.dtype != jnp.uint16:
-            raise ValueError("text_dev16 must be uint16[n_build]")
-        text_dev = _widen_i32(text_dev16)
+        if text_dev32 is not None:
+            if (text_dev32.shape[0] != n_build
+                    or text_dev32.dtype != jnp.int32):
+                raise ValueError("text_dev32 must be int32[n_build]")
+            text_dev = text_dev32
+        else:
+            if text_dev16 is None:
+                text16 = prepared.text  # uint16: half the transfer of int32
+                if text16.dtype != np.uint16:
+                    # lossless: alphabet codes are < 261
+                    text16 = text16.astype(np.uint16)
+                if n_build > n:
+                    text16 = np.concatenate(
+                        [text16, np.zeros(n_build - n, np.uint16)]
+                    )
+                text_dev16 = jnp.asarray(text16)
+            elif (text_dev16.shape[0] != n_build
+                  or text_dev16.dtype != jnp.uint16):
+                raise ValueError("text_dev16 must be uint16[n_build]")
+            text_dev = _widen_i32(text_dev16)
+            text_dev16 = None  # drop this frame's ref to the uint16 buffer
         doc_starts_dev = jnp.asarray(doc_starts_np32)
         pull = None
         # the corpus is host-resident: one bincount gives the symbol set,

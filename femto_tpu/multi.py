@@ -141,6 +141,7 @@ MAX_CHUNK_SYMBOLS = 2**31 - 2**24
 
 def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
                            uniform: bool = True,
+                           prefetch: bool = True,
                            **build_kwargs) -> MultiIndex:
     """Build a MultiIndex from one PreparedText, splitting at document
     boundaries so each chunk stays under max_chunk_symbols.
@@ -158,15 +159,19 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
     chunk of the 2.16G-symbol build cost a 178 s second compile).  With
     uniform shapes the entire chunked build compiles ONCE.
 
-    Chunk text uploads are double-buffered: chunk i+1's uint16 text is
-    enqueued to the device before chunk i's build runs, so the transfer
-    rides under the build's compute — the tile-pipe IO/compute overlap of
-    the reference's pipeline_node dataflow (pipelining.hh:480-870), at
-    chunk granularity."""
+    Chunk text uploads are double-buffered (prefetch=True): chunk i+1's
+    text is enqueued to the device before chunk i's build runs, so the
+    transfer rides under the build's compute — the tile-pipe IO/compute
+    overlap of the reference's pipeline_node dataflow
+    (pipelining.hh:480-870), at chunk granularity.  The text ships as RAW
+    uint8 content bytes (4x smaller than int32) plus the per-doc escape
+    positions; escapes are reconstructed on device (fmindex._expand_u8).
+    prefetch=False serializes uploads for memory-constrained chips (the
+    prefetched chunk costs ~1 B/symbol of extra peak HBM)."""
     import jax
 
-    from .alphabet import PreparedText
-    from .fmindex import build_index
+    from .alphabet import CHARACTER_OFFSET, PreparedText
+    from .fmindex import _escape_positions, _expand_u8, build_index
 
     starts = prepared.doc_starts
     ndocs = prepared.num_docs
@@ -191,34 +196,64 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             max(d1 - d0 for d0, d1 in bounds),
         )
 
-    def chunk_text16(i: int):
-        """Host uint16 text of chunk i, padded to the uniform shape."""
+    def make_sub(i: int) -> PreparedText:
         d0, d1 = bounds[i]
-        t = prepared.text[int(starts[d0]): int(starts[d1])]
-        if pad_shape is not None and len(t) < pad_shape[0]:
-            t = np.concatenate(
-                [t, np.zeros(pad_shape[0] - len(t), np.uint16)]
-            )
-        return np.ascontiguousarray(t)
-
-    device_build = build_kwargs.get("device_build", True)
-    indexes = []
-    pending = jax.device_put(chunk_text16(0)) if device_build else None
-    for i, (d0, d1) in enumerate(bounds):
         base = int(starts[d0])
-        sub = PreparedText(
+        return PreparedText(
             text=prepared.text[base: int(starts[d1])],
             doc_starts=(starts[d0: d1 + 1] - base),
             infos=list(prepared.infos[d0: d1]),
             header_lens=(None if prepared.header_lens is None
                          else prepared.header_lens[d0: d1]),
         )
-        tdev, pending = pending, None
-        if device_build and i + 1 < len(bounds):
+
+    def chunk_upload(i: int, sub: PreparedText):
+        """Enqueue chunk i's text upload; returns a thunk producing the
+        build_index text_dev kwargs at consume time."""
+        d0, d1 = bounds[i]
+        n_real = int(starts[d1]) - int(starts[d0])
+        n_build = pad_shape[0] if pad_shape is not None else n_real
+        ndocs_build = pad_shape[1] if pad_shape is not None else (d1 - d0)
+        esc = _escape_positions(sub, ndocs_build)
+        if esc is not None:
+            # uint8 bulk: raw content bytes; escape slots hold garbage and
+            # are overwritten by the device scatter
+            u8 = (sub.text.astype(np.int32) - CHARACTER_OFFSET).astype(
+                np.uint8)
+            if n_build > n_real:
+                u8 = np.concatenate(
+                    [u8, np.zeros(n_build - n_real, np.uint8)])
+            bufs = [jax.device_put(np.ascontiguousarray(u8))] + [
+                jax.device_put(p) for p in esc
+            ]
+            return lambda: {"text_dev32": _expand_u8(
+                bufs[0], n_real, bufs[1], bufs[2], bufs[3])}
+        t = sub.text.astype(np.uint16, copy=False)
+        if n_build > n_real:
+            t = np.concatenate([t, np.zeros(n_build - n_real, np.uint16)])
+        tdev = jax.device_put(np.ascontiguousarray(t))
+        return lambda: {"text_dev16": tdev}
+
+    device_build = build_kwargs.get("device_build", True)
+    indexes = []
+    subs = {0: make_sub(0)}
+    pending = (chunk_upload(0, subs[0])
+               if device_build and prefetch else None)
+    for i in range(len(bounds)):
+        sub = subs.pop(i) if i in subs else make_sub(i)
+        if pending is not None:
+            thunk, pending = pending, None
+        elif device_build:
+            thunk = chunk_upload(i, sub)
+        else:
+            thunk = None
+        if device_build and prefetch and i + 1 < len(bounds):
             # enqueue the NEXT chunk's upload before this build dispatches
-            pending = jax.device_put(chunk_text16(i + 1))
+            subs[i + 1] = make_sub(i + 1)
+            pending = chunk_upload(i + 1, subs[i + 1])
+        kw = thunk() if thunk is not None else {}
         indexes.append(build_index(sub, pad_shape=pad_shape,
-                                   text_dev16=tdev, **build_kwargs))
+                                   **kw, **build_kwargs))
     return MultiIndex(indexes)
 
 

@@ -197,17 +197,21 @@ def run_regexp(
     max_len: int = 256,
 ) -> List[RegexpMatch]:
     """Find all matching strings as (row range, cost, string)."""
-    n = index.meta.n
+    # Start from the REAL row space [row0, n_rows): shape-padded and
+    # sharded builds keep pad suffixes as leading rows (fmindex.FMMeta),
+    # exactly like backward_search's init (ops/search_ops.py:35-37).
+    row0 = index.meta.row0
+    n_rows = index.meta.n_rows
     results: List[RegexpMatch] = []
 
     costs0 = _start_costs(nfa, settings)
     # Frontier entries: (first, last, costs, matched-bytes-reversed)
     frontier: List[Tuple[int, int, np.ndarray, bytes]] = [
-        (0, n, costs0, b"")
+        (row0, n_rows, costs0, b"")
     ]
     fc0 = _final_cost(nfa, costs0, settings)
     if fc0 is not None:
-        results.append(RegexpMatch(0, n, fc0, b""))
+        results.append(RegexpMatch(row0, n_rows, fc0, b""))
 
     depth = 0
     while frontier and depth < max_len and len(results) < max_results:

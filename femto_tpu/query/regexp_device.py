@@ -37,7 +37,8 @@ INT32_MAX = np.iinfo(np.int32).max
 class _Static:
     """Hashable jit-static config."""
 
-    n: int
+    n: int            # total rows (meta.n_rows: includes pad rows)
+    row0: int         # first REAL row (non-zero on padded/sharded builds)
     S: int            # NFA states
     T: int            # transitions
     F: int            # frontier capacity
@@ -91,8 +92,8 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     F, S, T, R = cfg.F, cfg.S, cfg.T, cfg.R
     A = ALPHA_SIZE
 
-    # frontier state
-    first = jnp.zeros((F,), jnp.int32)
+    # frontier state: entry 0 spans the REAL row space [row0, n_rows)
+    first = jnp.zeros((F,), jnp.int32).at[0].set(cfg.row0)
     last = jnp.zeros((F,), jnp.int32).at[0].set(cfg.n)
     costs = jnp.full((F, S), NO_COST, jnp.int32).at[0].set(costs0)
     live = jnp.zeros((F,), bool).at[0].set(True)
@@ -107,7 +108,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     # record the start entry if it is already accepting
     acc0 = jnp.min(jnp.where(accept, costs0, NO_COST))
     hit0 = acc0 < cfg.cost_bound
-    res_first = res_first.at[0].set(0)
+    res_first = res_first.at[0].set(cfg.row0)
     res_last = jnp.where(hit0, res_last.at[0].set(cfg.n), res_last)
     res_cost = jnp.where(hit0, res_cost.at[0].set(acc0), res_cost)
     res_count = res_count + hit0.astype(jnp.int32)
@@ -303,7 +304,8 @@ def _run_regexp_device_once(
         else max(1, -(-settings.cost_bound // max(settings.delete_cost, 1)))
     )
     cfg = _Static(
-        n=index.meta.n,
+        n=index.meta.n_rows,
+        row0=index.meta.row0,
         S=S_pad,
         T=T_pad,
         F=frontier_cap,
