@@ -3,9 +3,24 @@
 The TPU re-architecture of the reference's MPI DCX pipeline
 (/root/reference/src/dcx_cc/dcx.hh:4038 suffix_sort_impl, 4786 form_bwt_node,
 4930 write_index_files_node): text is sharded into equal per-device blocks
-(the "bins"), and construction proceeds as prefix-doubling rounds where each
-round is one distributed sample sort + one randomized owner-exchange —
-all ICI collectives, no host round-trips.
+(the "bins") and sorted by the mesh edition of the single-chip round-2
+design (femto_tpu/suffix.py):
+
+  1. ONE full-size distributed sample sort of wide packed seed keys
+     (dense monotone remap, 12-30 symbols across 2-3 int32 keys), with the
+     fused BWT+aux word riding as a payload operand — the mesh analog of
+     the reference's sample-then-merge (dcx.hh:4038,
+     ssort_chpl/SuffixSortImpl.chpl:2784), replacing the round-1 6-symbol
+     seed + ~log2(n) doubling rounds of 3 full exchanges each;
+  2. a REPLICATED-ACTIVE direct-extension epilogue: the unresolved slots
+     (~1% of n on text corpora) are gathered to every device once, then
+     each round fetches the next T packed words per active suffix with one
+     psum over the sharded key array (owner answers, others contribute 0)
+     and re-sorts the tiny set locally — zero further full-size exchanges;
+  3. fallbacks: long-repeat tails switch the replicated epilogue to
+     filtered prefix doubling (rank fetches are the same psum trick);
+     massively tied inputs (active set > n_pad/4) fall back to full
+     distributed doubling rounds (_dist_round_body).
 
 Layout conventions:
   * global text is padded with trailing ESCAPE(0) symbols to n_pad = D*m,
@@ -24,6 +39,7 @@ return it so the host driver can retry with a larger capacity factor.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,9 +49,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..alphabet import INVALID_ALPHA
 from ..fmindex import DEFAULT_MARK_PERIOD, DEFAULT_SEG, FMArrays, FMMeta
+from ..suffix import _bucket_anchored, _pack_rate
 from . import bins
 from .dist_sort import dist_sort
 from .mesh import DEFAULT_AXIS
+
+#: Stats of the most recent dist_suffix_array call (exchange-round
+#: accounting for tests/PERF): path taken, # full-size distributed sorts,
+#: # full-size exchanges, # replicated extension/doubling rounds.
+LAST_BUILD_STATS: dict = {}
 
 
 def _shift_left_blocks(x: jax.Array, k: int, n_pad: int, fill, axis: str):
@@ -144,24 +166,296 @@ def _rank_refine(rank, rank_k, gidx, key, *, cap: int, axis: str):
     return new_rank, nuniq, jnp.maximum(of, of2)
 
 
-def _dist_seed_body(text_block: jax.Array, key: jax.Array, *, n: int,
-                    n_pad: int, cap: int, axis: str):
-    """Seed ranks from two packed 3-symbol keys and run the densify round
-    (orders 6-symbol prefixes).  Returns (rank, nuniq, overflow)."""
+_I32MAX = np.int32(0x7FFFFFFF)
+_EXT_T = 4            # packed words fetched per extension round
+_EXT_MAX_ROUNDS = 6   # then switch to filtered doubling
+# Replicated-active budget: the epilogue replicates the unresolved records
+# (5 int32 fields) on every device; past this count (or past n_pad/4 —
+# mostly-tied inputs, where every device redundantly sorting the active
+# set loses to distributed doubling) fall back to full doubling rounds.
+_REP_CAP = 1 << 24
+
+
+def _halo_right(x: jax.Array, H: int, axis: str) -> jax.Array:
+    """concat(x, next block's first H entries) (cyclic across the mesh)."""
+    D = jax.lax.axis_size(axis)
+    if H == 0:
+        return x
+    halo = jax.lax.ppermute(x[:H], axis,
+                            [(i, (i - 1) % D) for i in range(D)])
+    return jnp.concatenate([x, halo])
+
+
+def _group_state(st: jax.Array, axis: str, n_pad: int):
+    """(slots, base, unresolved) from per-slot group-start bits.
+
+    base[k] = group base slot (distributed cummax with cross-device carry);
+    unresolved[k] = slot k sits in a group of size > 1."""
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    m = st.shape[0]
+    slots = me * m + jnp.arange(m, dtype=jnp.int32)
+    base_local = jax.lax.cummax(jnp.where(st, slots, 0))
+    lastv = jax.lax.all_gather(base_local[-1], axis)          # [D]
+    carry = jnp.max(jnp.where(jnp.arange(D) < me, lastv, 0))
+    base = jnp.maximum(base_local, carry)
+    st_next = jax.lax.ppermute(st[0], axis,
+                               [(i, (i - 1) % D) for i in range(D)])
+    nxt = jnp.concatenate([st[1:], st_next[None]])
+    nxt = jnp.where(slots == n_pad - 1, True, nxt)
+    unresolved = ~(st & nxt)
+    return slots, base, unresolved
+
+
+def _seed_keys(text_block: jax.Array, used: jax.Array, *, n: int,
+               n_pad: int, per_key: int, bits: int, nkeys: int, axis: str):
+    """Wide packed seed keys (the mesh twin of suffix._keys_stage): dense
+    monotone remap, then per_key codes per 30-bit key built on a
+    halo-extended block so k1/k2 are local slices.  Pad suffixes
+    (0^(n_pad-i), i >= n) get distinct negative keys -1-i: already fully
+    resolved, ordered shorter-first, below every real key — and the SAME
+    encoding answers extension fetches that cross into the pad (the
+    remaining content of any suffix window past position n is determined
+    by its position alone).  Returns (keys tuple, key0 block)."""
+    me = jax.lax.axis_index(axis)
+    m = text_block.shape[0]
+    t = text_block.astype(jnp.int32)
+    if per_key > 3:
+        codes = jnp.sum((t[:, None] >= used[None, :]).astype(jnp.int32),
+                        axis=1)
+    else:
+        codes = t
+    H = per_key * nkeys
+    ce = _halo_right(codes, H, axis)
+    gidxe = me * m + jnp.arange(m + H, dtype=jnp.int32)
+    ce = jnp.where(gidxe < n_pad, ce, 0)
+    L = m + per_key * (nkeys - 1)
+    key0e = jnp.zeros((L,), jnp.int32)
+    for tpos in range(per_key):
+        key0e = key0e | (ce[tpos: tpos + L] << ((per_key - 1 - tpos) * bits))
+    key0e = jnp.where(gidxe[:L] >= n, -1 - gidxe[:L], key0e)
+    keys = tuple(key0e[q * per_key: q * per_key + m] for q in range(nkeys))
+    return keys, keys[0]
+
+
+def _payload_block(text_block: jax.Array, doc_starts: jax.Array, *, n: int,
+                   n_pad: int, mark_period: int, ndocs: int, axis: str):
+    """BWT+aux payload: payload[p] = text[p-1] | aux[p]<<9 (cyclic), so the
+    seed sort's pull[r] = payload[sa[r]] is row r's BWT symbol plus its
+    mark/SEOF word — the sharded twin of build_ops' fused BWT gather."""
+    D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     m = text_block.shape[0]
     gidx = me * m + jnp.arange(m, dtype=jnp.int32)
+    aux = _aux_local_block(doc_starts, gidx, n=n, mark_period=mark_period,
+                           ndocs=ndocs, me=me, m=m)
     t = text_block.astype(jnp.int32)
+    # prev[p] = text[(p-1) mod n_pad]: one boundary element from device-1
+    prev_last = jax.lax.ppermute(t[-1], axis,
+                                 [(i, (i + 1) % D) for i in range(D)])
+    t_prev = jnp.concatenate([prev_last[None], t[:-1]])
+    return t_prev | (aux << 9)
 
-    shifts = [_shift_left_blocks(t, j, n_pad, 0, axis) for j in range(1, 6)]
-    rank = (t << 18) | (shifts[0] << 9) | shifts[1]
-    rank_b = (shifts[2] << 18) | (shifts[3] << 9) | shifts[4]
-    # Pad suffixes are 0^j strings that only differ by length; prefix
-    # doubling cannot separate them (both fall out of range in the same
-    # round), so seed them with distinct, correctly ordered negative ranks:
-    # shorter pad suffix (larger position) sorts first.
-    rank = jnp.where(gidx >= n, -1 - gidx, rank)
-    return _rank_refine(rank, rank_b, gidx, key, cap=cap, axis=axis)
+
+def _prep_body(text_block: jax.Array, doc_starts: jax.Array,
+               used: jax.Array, *, n: int, n_pad: int, per_key: int,
+               bits: int, nkeys: int, mark_period: int, ndocs: int,
+               axis: str):
+    """Cheap per-build prep (no sort, no exchange): seed keys + BWT/aux
+    payload blocks.  Re-run on checkpoint resume; keys[0] doubles as the
+    extension epilogue's packed-word store."""
+    keys, _ = _seed_keys(text_block, used, n=n, n_pad=n_pad,
+                         per_key=per_key, bits=bits, nkeys=nkeys, axis=axis)
+    payload = _payload_block(text_block, doc_starts, n=n, n_pad=n_pad,
+                             mark_period=mark_period, ndocs=ndocs, axis=axis)
+    return keys + (payload,)
+
+
+def _seed_sort_body(*args, nkeys: int, n_pad: int, cap: int, axis: str):
+    """The ONE full-size distributed sort: wide packed keys + BWT payload.
+    Returns (sa, pull, st) blocks + m_act + overflow."""
+    keys, payload, rkey = args[:nkeys], args[nkeys], args[nkeys + 1]
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    m = keys[0].shape[0]
+    gidx = me * m + jnp.arange(m, dtype=jnp.int32)
+    cols, (pull,), of = dist_sort(tuple(keys) + (gidx,), (payload,), axis,
+                                  cap, key=rkey)
+    skeys, sa = cols[:nkeys], cols[nkeys]
+    # group starts: any seed key differs from the previous sorted slot
+    neq = jnp.zeros((m - 1,), bool)
+    first = jnp.zeros((), bool)
+    for sk in skeys:
+        prev = jax.lax.ppermute(sk[-1], axis,
+                                [(i, (i + 1) % D) for i in range(D)])
+        neq = neq | (sk[1:] != sk[:-1])
+        first = first | (sk[0] != prev)
+    st = jnp.concatenate([jnp.where(gidx[0] == 0, True, first)[None], neq])
+    _, _, unresolved = _group_state(st, axis, n_pad)
+    m_act = jax.lax.psum(jnp.sum(unresolved.astype(jnp.int32)), axis)
+    return sa, pull, st, m_act, of
+
+
+def _rep_compact_body(sa: jax.Array, st: jax.Array, *, n_pad: int, M: int,
+                      axis: str):
+    """Compact the globally-unresolved slots into REPLICATED [M] record
+    arrays (slot, suffix position, group base): per-device local compaction
+    at a cross-device offset, then one psum merge (each lane has exactly
+    one contributor)."""
+    slots_all, base_all, unres = _group_state(st, axis, n_pad)
+    cnt = jnp.sum(unres.astype(jnp.int32))
+    off = _exclusive_base(cnt, axis)
+    ppos = jnp.cumsum(unres.astype(jnp.int32)) - 1 + off
+    tgt = jnp.where(unres, ppos, M)          # host guarantees M >= m_act
+    buf = jnp.zeros((3, M + 1), jnp.int32)
+    buf = buf.at[0, tgt].set(jnp.where(unres, slots_all, 0), mode="drop")
+    buf = buf.at[1, tgt].set(jnp.where(unres, sa, 0), mode="drop")
+    buf = buf.at[2, tgt].set(jnp.where(unres, base_all, 0), mode="drop")
+    buf = jax.lax.psum(buf[:, :M], axis)
+    total = jax.lax.psum(cnt, axis)
+    live = jnp.arange(M, dtype=jnp.int32) < total
+    slots = jnp.where(live, buf[0], n_pad)
+    pos = jnp.where(live, buf[1], 0)
+    base = jnp.where(live, buf[2], _I32MAX)
+    return slots, pos, base
+
+
+def _rep_extend_body(sa: jax.Array, st: jax.Array, key0_blk: jax.Array,
+                     slots: jax.Array, pos: jax.Array, base: jax.Array,
+                     W: jax.Array, *, n_pad: int, M: int, T: int,
+                     per_key: int, axis: str):
+    """One replicated direct-extension round (mesh twin of
+    suffix._extend_round_impl): fetch the next T packed words per active
+    suffix with ONE [T, M] psum over the sharded key0 store (the owner
+    contributes, everyone else adds 0; q >= n_pad has no owner and yields
+    0, the past-everything sentinel), re-sort the active records locally
+    (replicated compute), scatter results back into the sharded SA/state
+    blocks, and compact the survivors.  Zero full-size exchanges."""
+    me = jax.lax.axis_index(axis)
+    m = sa.shape[0]
+    valid = slots < n_pad
+    qs = []
+    for t in range(T):
+        q = pos + W + t * per_key
+        lq = q - me * m
+        hit = valid & (lq >= 0) & (lq < m)
+        qs.append(jnp.where(hit, key0_blk[jnp.clip(lq, 0, m - 1)], 0))
+    fetched = jax.lax.psum(jnp.stack(qs), axis)          # [T, M]
+    ops = [jnp.where(valid, base, _I32MAX)]
+    for t in range(T):
+        ops.append(jnp.where(valid, fetched[t], _I32MAX))
+    ops.append(pos)
+    srt = jax.lax.sort(tuple(ops), num_keys=T + 1)
+    sp = srt[-1]
+    neq = srt[0][1:] != srt[0][:-1]
+    for kcol in srt[1:-1]:
+        neq = neq | (kcol[1:] != kcol[:-1])
+    stn = jnp.ones((M,), bool).at[1:].set(neq)
+    # scatter back into this device's SA / group-start blocks
+    ls = slots - me * m
+    mine = valid & (ls >= 0) & (ls < m)
+    wt = jnp.where(mine, ls, m)
+    sa = sa.at[wt].set(sp, mode="drop")
+    st = st.at[wt].set(stn, mode="drop")
+    # compact still-unresolved records (sorted order == slot order: groups
+    # are slot-contiguous and slots ascending)
+    new_base = jax.lax.cummax(jnp.where(stn & valid, slots, 0))
+    nxt = jnp.concatenate([stn[1:], jnp.ones((1,), bool)])
+    keep = valid & ~(stn & nxt)
+    cpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, jnp.minimum(cpos, M - 1), M)
+    slots2 = jnp.full((M + 1,), n_pad, jnp.int32).at[tgt].set(
+        slots, mode="drop")[:M]
+    pos2 = jnp.zeros((M + 1,), jnp.int32).at[tgt].set(sp, mode="drop")[:M]
+    base2 = jnp.full((M + 1,), _I32MAX, jnp.int32).at[tgt].set(
+        new_base, mode="drop")[:M]
+    return sa, st, slots2, pos2, base2, jnp.sum(keep.astype(jnp.int32))
+
+
+def _rank_scatter_body(sa: jax.Array, st: jax.Array, rkey: jax.Array, *,
+                       n_pad: int, cap: int, axis: str):
+    """rank[p] = group base slot of suffix p (sharded ISA), one Valiant
+    exchange routing (position -> base) to the position's owner.  Built
+    lazily, only when a long-repeat tail forces the doubling fallback."""
+    me = jax.lax.axis_index(axis)
+    m = sa.shape[0]
+    _, base_all, _ = _group_state(st, axis, n_pad)
+    recs, v, of = bins.valiant_exchange(sa // m, [sa, base_all], cap, axis,
+                                        rkey)
+    lp = jnp.where(v, recs[0] - me * m, m)
+    rank = jnp.zeros((m,), jnp.int32).at[lp].set(recs[1], mode="drop")
+    return rank, of
+
+
+def _rep_double_body(sa: jax.Array, rank_blk: jax.Array, slots: jax.Array,
+                     pos: jax.Array, base: jax.Array, k: jax.Array, *,
+                     n_pad: int, M: int, axis: str):
+    """One replicated filtered doubling round (mesh twin of
+    suffix._filtered_round): rank[pos+k] comes from one [M] psum over the
+    sharded rank store; sort, scatter back, refine ranks, compact."""
+    me = jax.lax.axis_index(axis)
+    m = sa.shape[0]
+    valid = slots < n_pad
+    q = pos + k
+    lq = q - me * m
+    hit = valid & (lq >= 0) & (lq < m)
+    r2 = jax.lax.psum(
+        jnp.where(hit, rank_blk[jnp.clip(lq, 0, m - 1)], 0), axis)
+    r2 = jnp.where(q < n_pad, r2, -1)        # past end sorts first
+    b = jnp.where(valid, base, _I32MAX)
+    r2s = jnp.where(valid, r2, _I32MAX)
+    sb, sr, sp = jax.lax.sort((b, r2s, pos), num_keys=2)
+    stn = jnp.ones((M,), bool).at[1:].set(
+        (sb[1:] != sb[:-1]) | (sr[1:] != sr[:-1]))
+    new_base = jax.lax.cummax(jnp.where(stn & valid, slots, 0))
+    # scatter: sa[slot] = new position, rank[new position] = refined base
+    ls = slots - me * m
+    mine = valid & (ls >= 0) & (ls < m)
+    sa = sa.at[jnp.where(mine, ls, m)].set(sp, mode="drop")
+    lp2 = sp - me * m
+    pmine = valid & (lp2 >= 0) & (lp2 < m)
+    rank_blk = rank_blk.at[jnp.where(pmine, lp2, m)].set(
+        new_base, mode="drop")
+    nxt = jnp.concatenate([stn[1:], jnp.ones((1,), bool)])
+    keep = valid & ~(stn & nxt)
+    cpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, jnp.minimum(cpos, M - 1), M)
+    slots2 = jnp.full((M + 1,), n_pad, jnp.int32).at[tgt].set(
+        slots, mode="drop")[:M]
+    pos2 = jnp.zeros((M + 1,), jnp.int32).at[tgt].set(sp, mode="drop")[:M]
+    base2 = jnp.full((M + 1,), _I32MAX, jnp.int32).at[tgt].set(
+        new_base, mode="drop")[:M]
+    return sa, rank_blk, slots2, pos2, base2, \
+        jnp.sum(keep.astype(jnp.int32))
+
+
+def _pull_fix_body(sa: jax.Array, pull: jax.Array, payload: jax.Array,
+                   slots0: jax.Array, *, n_pad: int, M: int, axis: str):
+    """Refresh pull[slot] = payload[sa[slot]] for the slots that were
+    active after the seed sort (the epilogue reorders only those): two [M]
+    psum fetches + one local scatter."""
+    me = jax.lax.axis_index(axis)
+    m = sa.shape[0]
+    valid = slots0 < n_pad
+    ls = slots0 - me * m
+    mine = valid & (ls >= 0) & (ls < m)
+    pos = jax.lax.psum(
+        jnp.where(mine, sa[jnp.clip(ls, 0, m - 1)], 0), axis)
+    lp = pos - me * m
+    own = valid & (lp >= 0) & (lp < m)
+    val = jax.lax.psum(
+        jnp.where(own, payload[jnp.clip(lp, 0, m - 1)], 0), axis)
+    return pull.at[jnp.where(mine, ls, m)].set(val, mode="drop")
+
+
+def _decode_pull_body(pull: jax.Array):
+    return pull & 511, pull >> 9
+
+
+def _hist_body(text_block: jax.Array, *, axis: str):
+    h = jnp.zeros((512,), jnp.int32).at[
+        jnp.clip(text_block.astype(jnp.int32), 0, 511)].add(1)
+    return jax.lax.psum(h, axis)
 
 
 def _dist_round_body(rank: jax.Array, k: jax.Array, key: jax.Array, *,
@@ -246,6 +540,89 @@ def _dist_finalize_body(rank: jax.Array, text_block: jax.Array,
     return sa, bwt, a_row, overflow
 
 
+def _smap(fn, mesh, in_specs, out_specs):
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_hist(mesh, axis):
+    return _smap(functools.partial(_hist_body, axis=axis), mesh,
+                 (P(axis),), P())
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_prep(mesh, axis, n, n_pad, per_key, bits, nkeys, mark_period,
+              ndocs):
+    fn = functools.partial(_prep_body, n=n, n_pad=n_pad, per_key=per_key,
+                           bits=bits, nkeys=nkeys, mark_period=mark_period,
+                           ndocs=ndocs, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(), P()),
+                 tuple([P(axis)] * (nkeys + 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_seed_sort(mesh, axis, nkeys, n_pad, cap):
+    fn = functools.partial(_seed_sort_body, nkeys=nkeys, n_pad=n_pad,
+                           cap=cap, axis=axis)
+    return _smap(fn, mesh, tuple([P(axis)] * (nkeys + 1)) + (P(),),
+                 (P(axis), P(axis), P(axis), P(), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_compact(mesh, axis, n_pad, M):
+    fn = functools.partial(_rep_compact_body, n_pad=n_pad, M=M, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(axis)), (P(), P(), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_extend(mesh, axis, n_pad, M, T, per_key):
+    fn = functools.partial(_rep_extend_body, n_pad=n_pad, M=M, T=T,
+                           per_key=per_key, axis=axis)
+    return _smap(fn, mesh,
+                 (P(axis), P(axis), P(axis), P(), P(), P(), P()),
+                 (P(axis), P(axis), P(), P(), P(), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rank_scatter(mesh, axis, n_pad, cap):
+    fn = functools.partial(_rank_scatter_body, n_pad=n_pad, cap=cap,
+                           axis=axis)
+    return _smap(fn, mesh, (P(axis), P(axis), P()), (P(axis), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_double(mesh, axis, n_pad, M):
+    fn = functools.partial(_rep_double_body, n_pad=n_pad, M=M, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(axis), P(), P(), P(), P()),
+                 (P(axis), P(axis), P(), P(), P(), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pullfix(mesh, axis, n_pad, M):
+    fn = functools.partial(_pull_fix_body, n_pad=n_pad, M=M, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(axis), P(axis), P()), P(axis))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_round(mesh, axis, n_pad, cap):
+    fn = functools.partial(_dist_round_body, n_pad=n_pad, cap=cap, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(), P()), (P(axis), P(), P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_finalize(mesh, axis, n, n_pad, cap, mark_period, ndocs):
+    fn = functools.partial(_dist_finalize_body, n=n, n_pad=n_pad, cap=cap,
+                          mark_period=mark_period, ndocs=ndocs, axis=axis)
+    return _smap(fn, mesh, (P(axis), P(axis), P(), P()),
+                 (P(axis), P(axis), P(axis), P()))
+
+
+def _rep_slice(x, M, mesh):
+    """Shrink a replicated [M0] record array to [M], keeping it replicated."""
+    return jax.device_put(x[:M], NamedSharding(mesh, P()))
+
+
 def dist_suffix_array(
     text: jax.Array,
     mesh: Mesh,
@@ -256,17 +633,25 @@ def dist_suffix_array(
     doc_starts: Optional[jax.Array] = None,
     mark_period: int = 0,
     checkpoint_dir: Optional[str] = None,
+    alpha: Optional[np.ndarray] = None,
 ):
     """Distributed SA+BWT of a padded, equally-sharded text.
 
     text: int32[n_pad] with n_pad % (D * SEG) == 0 (pad with 0 symbols);
     n: real (unpadded) length, defaults to n_pad.
-    checkpoint_dir: materialize the rank array after every round and resume
-    interrupted builds from the latest round (single-process meshes).
+    alpha: optional host array of the (nonzero) symbols present — skips
+    the device alphabet histogram.
+    checkpoint_dir: materialize the post-seed-sort state (and per-round
+    rank state on the doubling fallback) and resume interrupted builds
+    (single-process meshes).
     Returns (sa, bwt, a_row, overflow) sharded arrays — a_row carries each
     row's mark bit and SEOF doc tag (0 when doc_starts is omitted); check
     overflow == 0 on host and retry with a larger cap_factor if not.
+    Exchange-round accounting for the call is left in LAST_BUILD_STATS.
     """
+    global LAST_BUILD_STATS
+    from .distributed import put_global
+
     D = mesh.devices.size
     n_pad = int(text.shape[0])
     if n is None:
@@ -276,7 +661,8 @@ def dist_suffix_array(
     key = jax.random.PRNGKey(seed)
     if doc_starts is None:
         ndocs = 1
-        doc_starts = jnp.asarray([0, n], jnp.int32)
+        doc_starts = put_global(np.asarray([0, n], np.int32),
+                                NamedSharding(mesh, P()))
         mark_period = 0
     else:
         ndocs = int(doc_starts.shape[0]) - 1
@@ -286,61 +672,143 @@ def dist_suffix_array(
             " documents need the chunked builder (femto_tpu.multi)"
         )
 
-    seed_fn = jax.jit(jax.shard_map(
-        functools.partial(_dist_seed_body, n=n, n_pad=n_pad, cap=cap,
-                          axis=axis),
-        mesh=mesh, in_specs=(P(axis), P()), out_specs=(P(axis), P(), P()),
-    ))
-    round_fn = jax.jit(jax.shard_map(
-        functools.partial(_dist_round_body, n_pad=n_pad, cap=cap, axis=axis),
-        mesh=mesh, in_specs=(P(axis), P(), P()),
-        out_specs=(P(axis), P(), P()),
-    ))
-    fin_fn = jax.jit(jax.shard_map(
-        functools.partial(_dist_finalize_body, n=n, n_pad=n_pad, cap=cap,
-                          mark_period=mark_period, ndocs=ndocs, axis=axis),
-        mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P()),
-    ))
+    # alphabet -> key pack rate (dense monotone remap; pad symbol 0 is
+    # excluded so its code stays 0 = "past end sorts first")
+    if alpha is not None:
+        used_np = np.asarray(alpha, np.int32)
+    else:
+        hist = np.asarray(_jit_hist(mesh, axis)(text))
+        used_np = np.nonzero(hist)[0].astype(np.int32)
+    used_np = used_np[used_np > 0]
+    K = max(1, int(used_np.shape[0]))
+    per_key, bits = _pack_rate(K)
+    nkeys = 2 if 2 * per_key >= 10 else 3
+    span = per_key * nkeys
+    used_dev = put_global(
+        used_np if used_np.size else np.ones(1, np.int32),
+        NamedSharding(mesh, P()))
 
-    # Host-driven rounds: ONE compiled round program for every k (traced),
-    # early exit as soon as ranks are all-unique, and (single-process only)
-    # a per-round resume point — the analog of the reference's
-    # disk-materialized per-depth bin files (dcx.hh:846-861).
-    import os
+    kp = _jit_prep(mesh, axis, n, n_pad, per_key, bits, nkeys, mark_period,
+                   ndocs)(text, doc_starts, used_dev)
+    keys, payload = kp[:nkeys], kp[nkeys]
+    key0_blk = keys[0]
+
+    stats = {"path": "wide", "full_sorts": 1, "full_exchanges": 1,
+             "ext_rounds": 0, "tail_rounds": 0, "dbl_rounds": 0,
+             "span": span, "m_act": 0}
 
     ckpt_path = None
     if checkpoint_dir is not None and jax.process_count() == 1:
         os.makedirs(checkpoint_dir, exist_ok=True)
         ckpt_path = os.path.join(checkpoint_dir, f"dist_rank_{n_pad}.npz")
 
+    row_sh = NamedSharding(mesh, P(axis))
+    sa = None
     overflow_acc = 0
-    k = 6
-    rank = None
     if ckpt_path is not None and os.path.exists(ckpt_path):
         with np.load(ckpt_path) as z:
-            rank = jax.device_put(z["rank"],
-                                  NamedSharding(mesh, P(axis)))
-            k = int(z["k"])
-            nuniq = int(z["nuniq"])
-    if rank is None:
-        rank, nuniq_dev, of = seed_fn(text, key)
-        nuniq = int(nuniq_dev)
-        overflow_acc = max(overflow_acc, int(of))
-    while nuniq < n_pad and k < 2 * n_pad and overflow_acc <= 0:
-        rank, nuniq_dev, of = round_fn(
-            rank, jnp.int32(k), jax.random.fold_in(key, k)
-        )
-        nuniq = int(nuniq_dev)
-        overflow_acc = max(overflow_acc, int(of))
-        k *= 2
+            if str(z["stage"]) == "seed":
+                sa = jax.device_put(z["sa"], row_sh)
+                pull = jax.device_put(z["pull"], row_sh)
+                st_np = z["st"]
+                st = jax.device_put(st_np, row_sh)
+                nxt = np.concatenate([st_np[1:], [True]])
+                m_act = int(np.sum(~(st_np & nxt)))
+    if sa is None:
+        sa, pull, st, m_act_dev, of = _jit_seed_sort(
+            mesh, axis, nkeys, n_pad, cap)(*keys, payload, key)
+        overflow_acc = int(of)
+        m_act = int(m_act_dev)
         if ckpt_path is not None and overflow_acc <= 0:
-            np.savez(ckpt_path, rank=np.asarray(rank), k=k, nuniq=nuniq)
-    sa, bwt, a_row, of = fin_fn(rank, text, doc_starts, key)
+            np.savez(ckpt_path, stage="seed", sa=np.asarray(sa),
+                     pull=np.asarray(pull), st=np.asarray(st))
+    stats["m_act"] = m_act
+
+    if overflow_acc <= 0 and m_act > 0:
+        if m_act <= min(_REP_CAP, n_pad // 4):
+            # replicated-active direct-extension epilogue
+            M = _bucket_anchored(m_act, n_pad)
+            slots, pos, base = _jit_compact(mesh, axis, n_pad, M)(sa, st)
+            slots0, M0 = slots, M
+            W = span
+            while m_act > 0 and stats["ext_rounds"] < _EXT_MAX_ROUNDS:
+                sa, st, slots_n, pos_n, base_n, m_dev = _jit_extend(
+                    mesh, axis, n_pad, M, _EXT_T, per_key)(
+                    sa, st, key0_blk, slots, pos, base, jnp.int32(W))
+                m_act = int(m_dev)
+                W += _EXT_T * per_key
+                stats["ext_rounds"] += 1
+                if m_act > 0:
+                    M_next = _bucket_anchored(m_act, n_pad)
+                    slots = _rep_slice(slots_n, M_next, mesh)
+                    pos = _rep_slice(pos_n, M_next, mesh)
+                    base = _rep_slice(base_n, M_next, mesh)
+                    M = M_next
+            if m_act > 0:
+                # long-repeat tail: replicated filtered doubling; ranks are
+                # valid for k = W by construction
+                rank, of = _jit_rank_scatter(mesh, axis, n_pad, cap)(
+                    sa, st, jax.random.fold_in(key, 77))
+                overflow_acc = max(overflow_acc, int(of))
+                k = W
+                while m_act > 0 and k < 2 * n_pad and overflow_acc <= 0:
+                    sa, rank, slots_n, pos_n, base_n, m_dev = _jit_double(
+                        mesh, axis, n_pad, M)(
+                        sa, rank, slots, pos, base, jnp.int32(k))
+                    m_act = int(m_dev)
+                    k *= 2
+                    stats["tail_rounds"] += 1
+                    if m_act > 0:
+                        M_next = _bucket_anchored(m_act, n_pad)
+                        slots = _rep_slice(slots_n, M_next, mesh)
+                        pos = _rep_slice(pos_n, M_next, mesh)
+                        base = _rep_slice(base_n, M_next, mesh)
+                        M = M_next
+            # refresh BWT payload for the slots the epilogue reordered
+            pull = _jit_pullfix(mesh, axis, n_pad, M0)(
+                sa, pull, payload, slots0)
+        else:
+            # massively tied input (active set > n_pad/4): full distributed
+            # prefix doubling seeded from the wide sort.
+            stats["path"] = "doubling"
+            rank, of = _jit_rank_scatter(mesh, axis, n_pad, cap)(
+                sa, st, jax.random.fold_in(key, 77))
+            overflow_acc = max(overflow_acc, int(of))
+            k = span
+            nuniq = 0
+            if ckpt_path is not None and os.path.exists(ckpt_path):
+                with np.load(ckpt_path) as z:
+                    if str(z["stage"]) == "dbl":
+                        rank = jax.device_put(z["rank"], row_sh)
+                        k = int(z["k"])
+                        nuniq = int(z["nuniq"])
+            while nuniq < n_pad and k < 2 * n_pad and overflow_acc <= 0:
+                rank, nuniq_dev, of = _jit_round(mesh, axis, n_pad, cap)(
+                    rank, jnp.int32(k), jax.random.fold_in(key, k))
+                nuniq = int(nuniq_dev)
+                overflow_acc = max(overflow_acc, int(of))
+                k *= 2
+                stats["dbl_rounds"] += 1
+                stats["full_exchanges"] += 3
+                if ckpt_path is not None and overflow_acc <= 0:
+                    np.savez(ckpt_path, stage="dbl", rank=np.asarray(rank),
+                             k=k, nuniq=nuniq)
+            sa, bwt, a_row, of = _jit_finalize(
+                mesh, axis, n, n_pad, cap, mark_period, ndocs)(
+                rank, text, doc_starts, key)
+            stats["full_sorts"] += 1
+            stats["full_exchanges"] += 3
+            if ckpt_path is not None and os.path.exists(ckpt_path):
+                os.remove(ckpt_path)
+            LAST_BUILD_STATS = stats
+            return sa, bwt, a_row, jnp.maximum(of, jnp.int32(overflow_acc))
+
     if ckpt_path is not None and os.path.exists(ckpt_path):
         os.remove(ckpt_path)
-    overflow = jnp.maximum(of, jnp.int32(overflow_acc))
-    return sa, bwt, a_row, overflow
+    bwt = pull & 511            # INVALID_ALPHA == 511 survives the mask
+    a_row = pull >> 9
+    LAST_BUILD_STATS = stats
+    return sa, bwt, a_row, jnp.int32(overflow_acc)
 
 
 def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG):
@@ -468,12 +936,18 @@ def build_index_sharded(
     doc_starts_dev = put_global(
         prepared.doc_starts.astype(np.int32), rep0)
 
+    # symbol set host-side (prepared.text is already host-resident), the
+    # same one-scalar-pull trick as the single-chip build
+    alpha = np.nonzero(
+        np.bincount(np.asarray(prepared.text).astype(np.int64),
+                    minlength=512))[0].astype(np.int32)
+
     cf = cap_factor
     for attempt in range(max_retries):
         sa, bwt, a_row, overflow = dist_suffix_array(
             text_dev, mesh, axis, cap_factor=cf, seed=attempt, n=n,
             doc_starts=doc_starts_dev, mark_period=mark_period,
-            checkpoint_dir=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir, alpha=alpha,
         )
         if int(jax.device_get(overflow)) <= 0:
             break
@@ -485,7 +959,7 @@ def build_index_sharded(
         sa, bwt, a_row, overflow = dist_suffix_array(
             text_dev, mesh, axis, cap_factor=float(D), seed=max_retries,
             n=n, doc_starts=doc_starts_dev, mark_period=mark_period,
-            checkpoint_dir=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir, alpha=alpha,
         )
         if int(jax.device_get(overflow)) > 0:
             raise RuntimeError(

@@ -286,3 +286,62 @@ def test_routed_locate_parity(sharded_index, mesh):
                                       o_r[: l - f].astype(np.int64))
     got = sorted(zip(doc.tolist(), doc_off.tolist()))
     assert got == naive_locate(docs, b"a")
+
+
+def _build_sa_check(mesh, text, *, seg=32):
+    """Build the distributed SA for `text`, check SA+BWT parity against the
+    host oracle, and return dist_build.LAST_BUILD_STATS."""
+    from femto_tpu.parallel import dist_build
+
+    n = len(text)
+    text_pad, n_pad = pad_text_for_mesh(text, D, seg=seg)
+    sa, bwt, _aux, of = dist_suffix_array(
+        jax.device_put(jnp.asarray(text_pad),
+                       jax.NamedSharding(mesh, P(DEFAULT_AXIS))),
+        mesh, n=n,
+    )
+    assert int(of) <= 0
+    pad = n_pad - n
+    sa_np = np.asarray(sa)[pad:]
+    np.testing.assert_array_equal(sa_np, suffix_array_np(text))
+    bwt_np = np.asarray(bwt)[pad:]
+    prev = np.where(sa_np == 0, n_pad - 1, sa_np - 1)
+    want = np.where(prev >= n, 0, text[np.minimum(prev, n - 1)])
+    np.testing.assert_array_equal(bwt_np, want)
+    return dict(dist_build.LAST_BUILD_STATS)
+
+
+def test_dist_wide_sort_round_accounting(mesh, rng):
+    """Text corpora must finish in <= 3 full-size exchange rounds (one wide
+    seed sort + the replicated extension epilogue) — the mesh edition of
+    the round-2 single-chip sort, vs ~log2(n) doubling exchanges before
+    (VERDICT r2 item 2; reference sample-then-merge dcx.hh:4038)."""
+    text = rng.integers(97, 123, size=20000).astype(np.int32)
+    stats = _build_sa_check(mesh, text)
+    assert stats["path"] == "wide"
+    assert stats["full_exchanges"] <= 3, stats
+    assert stats["dbl_rounds"] == 0, stats
+
+
+def test_dist_long_repeat_tail(mesh, rng):
+    """A long embedded repeat (past the direct-extension budget) must spill
+    into the replicated filtered-doubling tail and stay exact — the mesh
+    twin of the single-chip extension-to-doubling fallback test."""
+    text = np.concatenate([
+        rng.integers(97, 123, size=9000),
+        np.tile(np.array([97, 98], np.int64), 700),   # (ab)^700 repeat
+        rng.integers(97, 123, size=9000),
+    ]).astype(np.int32)
+    stats = _build_sa_check(mesh, text)
+    assert stats["path"] == "wide"
+    assert stats["tail_rounds"] > 0, stats
+
+
+def test_dist_doubling_fallback(mesh):
+    """A single repeated symbol leaves nearly every suffix tied after the
+    seed sort (active set > one device block): the build must fall back to
+    full distributed doubling and stay exact."""
+    text = np.full(3000, 5, np.int32)
+    stats = _build_sa_check(mesh, text)
+    assert stats["path"] == "doubling"
+    assert stats["dbl_rounds"] > 0, stats
