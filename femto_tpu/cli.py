@@ -436,10 +436,10 @@ def main(argv=None) -> int:
     s.add_argument("--max-bytes", type=int, default=None)
     s.add_argument("--compact", action="store_true",
                    help="uint16 relative checkpoints (smaller index)")
-    s.add_argument("--tier", choices=["full", "compact", "packed"],
+    s.add_argument("--tier", choices=["full", "compact", "packed", "vseg"],
                    default=None,
-                   help="storage tier (packed = dense alphabet + bit-packed"
-                        " BWT, smallest index)")
+                   help="storage tier (vseg = per-segment-width compressed"
+                        " serving tier, smallest index)")
     s.add_argument("--doc-chunks", action="store_true",
                    help="store per-segment doc lists (fast doc queries)")
     s.add_argument("--locate-tier", choices=["walk", "direct"],

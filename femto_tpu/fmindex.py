@@ -125,12 +125,23 @@ class FMArrays(NamedTuple):
       * packed:  per-index DENSE alphabet (alpha_map/alpha_rev; K = #used
         symbols) with the BWT bit-packed into uint32 words (32//bits codes
         per word, bits = code width for K) on top of the compact
-        checkpoints — the behavioral replacement for the reference's
-        Huffman wavelet tree + RLE bseq compression (wtree.c:359-770,
-        block_format.txt:161-188): ~2 B/char on English text, ~0.8 on DNA.
+        checkpoints — ~2 B/char on English text, ~0.8 on DNA;
+      * vseg:    PER-SEGMENT dense remap at PER-SEGMENT bit width — the
+        behavioral replacement for the reference's Huffman wavelet tree +
+        RLE bseq compression (wtree.c:359-770, block_format.txt:161-188,
+        0.47 B/input-byte on English, ChangeLog 1.1.0): each segment
+        stores only ceil(log2 K_s) bits per symbol for its own K_s
+        distinct symbols (BWT clustering makes K_s small; run-dominated
+        segments approach 0-1 bits), words live in one flat ragged stream
+        (`bwt` uint32[total_words] + seg_woff/seg_w/seg_nsym/seg_syms),
+        and occ checkpoints are int8 deltas from a linear interpolation
+        between int32 L1 group rows.  Dispatch: bwt.ndim == 1.  The
+        static gather window WMAX is encoded as
+        seg_woff.shape[0] - n_seg (shapes must carry statics).
     """
 
     bwt: jax.Array        # uint16[n_seg, SEG] symbols | uint32[n_seg, W]
+    #                       packed words | uint32[total_words] vseg stream
     occ_ckpt: jax.Array   # int32 absolute | uint16 relative [n_seg, K]
     occ_l1: jax.Array     # int32[n_seg/L1_GROUP, K] | dummy [1, K]
     C: jax.Array          # int32[K+1]; C[c] = #codes < c (K=ALPHA_SIZE or
@@ -144,6 +155,14 @@ class FMArrays(NamedTuple):
     alpha_map: jax.Array  # int32[ALPHA_SIZE]: symbol -> dense code | -1
     alpha_rev: jax.Array  # int32[K]: dense code -> symbol (identity when
     #                       the index is not remapped)
+    # vseg tier only (None elsewhere):
+    seg_w: Optional[jax.Array] = None     # uint8[n_seg] code width (0..8)
+    seg_nsym: Optional[jax.Array] = None  # uint8[n_seg] K_s (255 =
+    #                                       identity segment: local == dense)
+    seg_woff: Optional[jax.Array] = None  # int32[n_seg + WMAX] word offset
+    #                                       (tail rows pad; see class doc)
+    seg_syms: Optional[jax.Array] = None  # uint8[n_seg, SMAX] sorted dense
+    #                                       codes present in the segment
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,7 +229,8 @@ class FMIndex:
         meta["infos"] = [i.decode("utf-8", "surrogateescape") for i in self.infos]
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        arrs = {k: np.asarray(v) for k, v in self.arrays._asdict().items()}
+        arrs = {k: np.asarray(v) for k, v in self.arrays._asdict().items()
+                if v is not None}
         arrs["doc_starts_np"] = self.doc_starts_np
         if self.header_lens_np is not None:
             arrs["header_lens_np"] = self.header_lens_np
@@ -268,7 +288,7 @@ class FMIndex:
         meta = dataclasses.asdict(self.meta)
         meta["infos"] = [i.decode("utf-8", "surrogateescape") for i in self.infos]
         arrs = {k: np.ascontiguousarray(np.asarray(v))
-                for k, v in self.arrays._asdict().items()}
+                for k, v in self.arrays._asdict().items() if v is not None}
         arrs["doc_starts_np"] = np.ascontiguousarray(self.doc_starts_np)
         if self.header_lens_np is not None:
             arrs["header_lens_np"] = np.ascontiguousarray(self.header_lens_np)
@@ -360,7 +380,8 @@ class FMIndex:
                if "chunk_docs_np" in arrs else None)
         sa_direct = (jnp.asarray(arrs.pop("sa_direct"))
                      if "sa_direct" in arrs else None)
-        arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields})
+        arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields
+                             if k in arrs})
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np,
                    chunk_doc_offsets_np=cdo, chunk_docs_np=cdv,
@@ -501,8 +522,10 @@ def build_index(
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
-    tier: "full" (default), "compact", or "packed" (see FMArrays docstring;
-    compact=True is the back-compat spelling of tier="compact").
+    tier: "full" (default), "compact", "packed", or "vseg" (see FMArrays
+    docstring; compact=True is the back-compat spelling of tier="compact").
+    "vseg" is the compressed serving tier: per-segment dense remap at
+    per-segment bit width + int8 interpolated occ checkpoints.
 
     locate: "walk" (default; mark-sampled LF walk, memory-lean) or
     "direct" (keep the whole suffix array HBM-resident: locate = one
@@ -652,7 +675,7 @@ def build_index(
             mark_period=mark_period,
             num_docs=prepared.num_docs,
             n_marks=int(n_marks),
-            n_seg=int(arrays.bwt.shape[0]),
+            n_seg=int(arrays.occ_ckpt.shape[0]),
             alpha_used=alpha_used,
             n_rows=n_build,
             row0=n_build - n,

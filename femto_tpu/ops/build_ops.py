@@ -193,6 +193,181 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
     return _ckpt_stage(per_seg, compact=compact)
 
 
+VSEG_SMAX = 32  # per-segment symbol-list capacity; K_s > SMAX -> identity
+
+_to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
+_to_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
+_to_i8 = jax.jit(lambda x: x.astype(jnp.int8))
+_to_i16 = jax.jit(lambda x: x.astype(jnp.int16))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ckpt_interp_stage(per_seg):
+    """vseg checkpoints: C + int32 L1 group rows (+ a totals row) + raw
+    int32 deltas from the within-group linear interpolation (the query
+    side reconstructs with the same floor-div formula, rank.ckpt_base).
+    Returns (C, delta int32, l1 int32[n_grp+1, K], dmax scalar)."""
+    from ..fmindex import L1_GROUP
+
+    n_seg, K = per_seg.shape
+    counts = per_seg.sum(axis=0)
+    C = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    occ_abs = jnp.concatenate(
+        [jnp.zeros((1, K), jnp.int32),
+         jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32)]
+    )
+    l1 = jnp.concatenate(
+        [occ_abs[::L1_GROUP], counts[None, :].astype(jnp.int32)]
+    )                                                   # [n_grp + 1, K]
+    sidx = jnp.arange(n_seg, dtype=jnp.int32)
+    g = sidx // L1_GROUP
+    frac = (sidx - g * L1_GROUP)[:, None]
+    pred = l1[g] + ((l1[g + 1] - l1[g]) * frac) // L1_GROUP
+    delta = occ_abs - pred
+    return C, delta, l1, jnp.max(jnp.abs(delta))
+
+
+def _vseg_widths(nsym):
+    """Canonical per-segment code width for K_s distinct codes: 0 for
+    constant segments, else the smallest w with 2^w >= K_s, canonicalized
+    to the bits actually available per 32-bit-word slot (32 // (32 // w),
+    matching _pack_widths)."""
+    w = jnp.zeros_like(nsym)
+    for b in range(8):
+        w = w + (nsym > (1 << b)).astype(nsym.dtype)
+    wsafe = jnp.maximum(w, 1)
+    return jnp.where(w > 0, 32 // (32 // wsafe), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "SMAX", "Wcap",
+                                             "ident_w"))
+def _vseg_pack_stage(codes2d, *, seg, SMAX, Wcap, ident_w):
+    """Per-segment stats + fixed-capacity packing (device, chunked).
+
+    codes2d: int32[n_seg, seg] dense global codes, tail pad = a value
+    > 2^20 (sorts last, matches nothing).  ident_w = code width of
+    identity segments (K_s > SMAX): 8 when the dense alphabet fits a
+    byte, 9 for byte-complete corpora (K up to 512).  Returns (seg_syms
+    int32, nsym int32, w int32, words_s int32, words_cap
+    uint32[n_seg, Wcap]) — the host then lays words_cap out as one
+    ragged flat stream (the only host step, an O(total_words) memcpy)."""
+    PAD = 1 << 20
+
+    def chunk(codes):                                  # [CH, seg]
+        CH = codes.shape[0]
+        srt = jnp.sort(codes, axis=1)
+        real = srt < PAD
+        uniq = jnp.concatenate(
+            [real[:, :1],
+             (srt[:, 1:] != srt[:, :-1]) & real[:, 1:]], axis=1)
+        nsym = jnp.sum(uniq.astype(jnp.int32), axis=1)
+        ranks = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+        rowi = jax.lax.broadcasted_iota(jnp.int32, srt.shape, 0)
+        tgt = jnp.where(uniq & (ranks < SMAX), ranks, SMAX)
+        syms = jnp.full((CH, SMAX + 1), PAD, jnp.int32).at[
+            rowi, tgt].set(srt, mode="drop")[:, :SMAX]
+        ident = nsym > SMAX
+        nsym_out = jnp.where(ident, 255, nsym)
+        w = jnp.where(ident, ident_w, _vseg_widths(nsym))
+        # local codes: searchsorted in the (sorted) per-segment symbol list
+        lc = jnp.sum(
+            (syms[:, None, :] < codes[:, :, None]).astype(jnp.int32), axis=2
+        )
+        lc = jnp.where(ident[:, None], codes, lc)
+        lc = jnp.where(codes < PAD, lc, 0)             # pad rows: harmless
+        # pack at runtime width w (scatter-add into the word lanes)
+        wsafe = jnp.maximum(w, 1)
+        per_word = (32 // wsafe)[:, None]
+        pos = jnp.arange(seg, dtype=jnp.int32)[None, :]
+        widx = jnp.where(w[:, None] > 0, pos // per_word, Wcap)
+        shift = ((pos % per_word) * w[:, None]).astype(jnp.uint32)
+        contrib = (lc.astype(jnp.uint32) << shift)
+        words = jnp.zeros((CH, Wcap + 1), jnp.uint32).at[
+            rowi, widx].add(contrib, mode="drop")[:, :Wcap]
+        words_s = jnp.where(
+            w > 0, (seg + (32 // wsafe) - 1) // (32 // wsafe), 0)
+        return (syms, nsym_out, w, words_s, words)
+
+    CH = 512
+    n_seg = codes2d.shape[0]
+    nch = -(-n_seg // CH)
+    pad_rows = nch * CH - n_seg
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), PAD, jnp.int32)]
+    ).reshape(nch, CH, seg)
+    syms, nsym, w, words_s, words = jax.lax.map(chunk, c3)
+    return (syms.reshape(-1, SMAX)[:n_seg],
+            nsym.reshape(-1)[:n_seg],
+            w.reshape(-1)[:n_seg],
+            words_s.reshape(-1)[:n_seg],
+            words.reshape(-1, Wcap)[:n_seg])
+
+
+@functools.partial(jax.jit, static_argnames=("total_pad", "Wcap"))
+def _vseg_flatten_stage(words_cap, words_s, woff, *, total_pad, Wcap):
+    """Compact the fixed-capacity word rows into one flat ragged stream
+    (device scatter; woff comes from the host cumsum of words_s)."""
+    n_seg = words_cap.shape[0]
+    j = jnp.arange(Wcap, dtype=jnp.int32)[None, :]
+    valid = j < words_s[:, None]
+    idx = jnp.where(valid, woff[:, None] + j, total_pad)
+    return jnp.zeros((total_pad + 1,), jnp.uint32).at[
+        idx.reshape(-1)].set(words_cap.reshape(-1), mode="drop")[:total_pad]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
+def _codes2d_stage(bwt_chars, alpha_map, *, n, n_seg, seg):
+    """Dense global codes reshaped to [n_seg, seg]; tail pad > 2^20."""
+    codes = alpha_map[bwt_chars]
+    full = jnp.full((n_seg * seg,), (1 << 20) + 7, jnp.int32)
+    full = jax.lax.dynamic_update_slice(full, codes, (0,))
+    return full.reshape(n_seg, seg)
+
+
+def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
+    """Assemble the vseg tier arrays (device stages + one host ragged
+    layout pass).  Returns (bwt_flat, occ_ckpt, occ_l1, C, seg_w,
+    seg_nsym, seg_woff, seg_syms).  Byte-complete corpora (dense K up to
+    512) store identity segments at 9 bits and uint16 symbol lists."""
+    K = int(used.shape[0])
+    alpha_map_np = np.full(ALPHA_SIZE, -1, np.int32)
+    alpha_map_np[used] = np.arange(K, dtype=np.int32)
+    alpha_map = jnp.asarray(alpha_map_np)
+
+    C, delta, l1, dmax = _ckpt_interp_stage(per_seg_used)
+    occ_ckpt = (_to_i8 if int(dmax) <= 127 else _to_i16)(delta)
+
+    wide = K > 256
+    ident_w = 9 if wide else 8
+    codes2d = _codes2d_stage(bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg)
+    Wcap = -(-seg // (32 // ident_w))
+    syms, nsym, w, words_s, words_cap = _vseg_pack_stage(
+        codes2d, seg=seg, SMAX=VSEG_SMAX, Wcap=Wcap, ident_w=ident_w
+    )
+    syms = (_to_u16 if wide else _to_u8)(syms)
+    ws_np = np.asarray(words_s)                        # [n_seg] tiny pull
+    woff_np = np.zeros(n_seg, np.int64)
+    np.cumsum(ws_np[:-1], out=woff_np[1:])
+    total = int(woff_np[-1] + ws_np[-1]) if n_seg else 0
+    # bucket the flat-stream length and the gather window so chunked
+    # builds at a fixed pad_shape reuse ONE compiled program
+    gran = max(1024, (n_seg * Wcap) // 32)
+    total_pad = max(-(-total // gran) * gran, gran)
+    WMAX = max(1, int(ws_np.max()) if n_seg else 1)
+    WMAX = 1 << (WMAX - 1).bit_length()
+    bwt_flat = _vseg_flatten_stage(
+        words_cap, words_s, jnp.asarray(woff_np.astype(np.int32)),
+        total_pad=total_pad, Wcap=Wcap,
+    )
+    woff_pad = np.zeros(n_seg + WMAX, np.int32)
+    woff_pad[:n_seg] = woff_np.astype(np.int32)
+    woff_pad[n_seg:] = max(total_pad - WMAX, 0)        # clamp-safe tail
+    return (bwt_flat, occ_ckpt, l1, C, _to_u8(w), _to_u8(nsym),
+            jnp.asarray(woff_pad), syms)
+
+
 def _pack_widths(K: int):
     """(per_word, bits) for a dense alphabet of K codes: the pad value
     (all-ones in `bits`) must be >= K so it never matches a query code."""
@@ -409,7 +584,7 @@ def build_fm_arrays_device(
     from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
-    if tier not in ("full", "compact", "packed"):
+    if tier not in ("full", "compact", "packed", "vseg"):
         raise ValueError(f"unknown tier {tier!r}")
     compact = tier in ("compact", "packed")
     n_seg = n // seg + 1
@@ -438,7 +613,8 @@ def build_fm_arrays_device(
             sa, doc_starts, n=n, mark_period=mark_period, ndocs=ndocs
         )
     alpha_used = 0
-    if tier == "packed":
+    vseg_extra = {}
+    if tier in ("packed", "vseg"):
         per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
         counts = np.asarray(per_seg.sum(axis=0))       # [A] tiny transfer
         used = np.nonzero(counts > 0)[0].astype(np.int32)
@@ -448,14 +624,23 @@ def build_fm_arrays_device(
         alpha_map_np[used] = np.arange(K, dtype=np.int32)
         alpha_map = jnp.asarray(alpha_map_np)
         alpha_rev = jnp.asarray(used)
-        C, occ_ckpt, occ_l1 = _ckpt_stage(
-            per_seg[:, jnp.asarray(used)], compact=True
-        )
-        per_word, bits = _pack_widths(K)
-        bwt_store = _pack_stage(
-            bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg,
-            per_word=per_word, bits=bits,
-        )
+        if tier == "vseg":
+            (bwt_store, occ_ckpt, occ_l1, C, seg_w, seg_nsym, seg_woff,
+             seg_syms) = _build_vseg(
+                bwt_chars, per_seg[:, jnp.asarray(used)], used,
+                n=n, n_seg=n_seg, seg=seg,
+            )
+            vseg_extra = dict(seg_w=seg_w, seg_nsym=seg_nsym,
+                              seg_woff=seg_woff, seg_syms=seg_syms)
+        else:
+            C, occ_ckpt, occ_l1 = _ckpt_stage(
+                per_seg[:, jnp.asarray(used)], compact=True
+            )
+            per_word, bits = _pack_widths(K)
+            bwt_store = _pack_stage(
+                bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg,
+                per_word=per_word, bits=bits,
+            )
     else:
         C, occ_ckpt, occ_l1 = _occ_stage(
             bwt_chars, n=n, n_seg=n_seg, seg=seg, compact=compact
@@ -481,5 +666,6 @@ def build_fm_arrays_device(
         doc_seof_rows=doc_seof_rows,
         alpha_map=alpha_map,
         alpha_rev=alpha_rev,
+        **vseg_extra,
     )
     return arrays, n_marks, alpha_used

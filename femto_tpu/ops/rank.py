@@ -37,12 +37,24 @@ def seg_size(arrays: FMArrays) -> int:
     return arrays.mark_bits.shape[1] * 32
 
 
+def n_segments(arrays: FMArrays) -> int:
+    """Segment count (occ_ckpt is [n_seg, K] in every tier)."""
+    return arrays.occ_ckpt.shape[0]
+
+
 def is_packed(arrays: FMArrays) -> bool:
-    return arrays.bwt.dtype == jnp.uint32
+    return arrays.bwt.dtype == jnp.uint32 and arrays.bwt.ndim == 2
+
+
+def is_vseg(arrays: FMArrays) -> bool:
+    """Per-segment variable-width tier: the BWT is one flat uint32 word
+    stream (fmindex.FMArrays docstring)."""
+    return arrays.bwt.ndim == 1
 
 
 def is_remapped(arrays: FMArrays) -> bool:
-    return arrays.C.shape[0] != ALPHA_SIZE + 1 or is_packed(arrays)
+    return (arrays.C.shape[0] != ALPHA_SIZE + 1 or is_packed(arrays)
+            or is_vseg(arrays))
 
 
 def alpha_count(arrays: FMArrays) -> int:
@@ -75,7 +87,11 @@ def _pack_geometry(arrays: FMArrays):
 
 def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     """Dense int32[B, SEG] symbol rows for segment ids s (unpacking the
-    bit-packed tier in registers; pad slots hold an all-ones code >= K)."""
+    bit-packed tiers in registers; pad slots of the packed tier hold an
+    all-ones code >= K; vseg tail-pad rows decode to an arbitrary present
+    code, which is safe because no query ever counts past row n)."""
+    if is_vseg(arrays):
+        return _gather_segments_vseg(arrays, s)
     if not is_packed(arrays):
         return jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
     seg = seg_size(arrays)
@@ -87,11 +103,50 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     return vals.reshape(words.shape[0], -1)[:, :seg].astype(jnp.int32)
 
 
+def _gather_segments_vseg(arrays: FMArrays, s: jax.Array) -> jax.Array:
+    """vseg decode: gather each segment's word window from the flat stream
+    and expand to dense GLOBAL codes at the segment's own width.
+
+    The window is the static WMAX = seg_woff.shape[0] - n_seg words (the
+    widest segment in the index); per_word = 32 // w is computed per lane,
+    so one program serves every width.  Local codes map to global dense
+    codes through the segment's sorted symbol list (identity segments —
+    seg_nsym == 255 — store global codes directly)."""
+    seg = seg_size(arrays)
+    n_seg = n_segments(arrays)
+    WMAX = arrays.seg_woff.shape[0] - n_seg
+    total = arrays.bwt.shape[0]
+    woff = arrays.seg_woff[s]                                  # [B]
+    idx = jnp.clip(
+        woff[:, None] + jnp.arange(WMAX, dtype=jnp.int32)[None, :],
+        0, total - 1,
+    )
+    words = arrays.bwt[idx]                                    # [B, WMAX]
+    w = arrays.seg_w[s].astype(jnp.int32)                      # [B]
+    wsafe = jnp.maximum(w, 1)
+    per_word = 32 // wsafe
+    pos = jnp.arange(seg, dtype=jnp.int32)[None, :]            # [1, SEG]
+    widx = pos // per_word[:, None]
+    shift = ((pos % per_word[:, None]) * w[:, None]).astype(jnp.uint32)
+    word = jnp.take_along_axis(words, jnp.minimum(widx, WMAX - 1), axis=1)
+    mask = ((jnp.uint32(1) << wsafe.astype(jnp.uint32)) - 1)[:, None]
+    lc = ((word >> shift) & mask).astype(jnp.int32)
+    lc = jnp.where(w[:, None] == 0, 0, lc)                     # constant seg
+    syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+    SMAX = syms.shape[1]
+    ident = (arrays.seg_nsym[s].astype(jnp.int32) >= 255)[:, None]
+    mapped = jnp.take_along_axis(syms, jnp.minimum(lc, SMAX - 1), axis=1)
+    return jnp.where(ident, lc, mapped)
+
+
 def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """Dense BWT code at each row (int32[B])."""
     seg = seg_size(arrays)
     s = r // seg
     off = r - s * seg
+    if is_vseg(arrays):
+        segdata = _gather_segments_vseg(arrays, s)
+        return jnp.take_along_axis(segdata, off[:, None], axis=1)[:, 0]
     if not is_packed(arrays):
         return arrays.bwt[s, off].astype(jnp.int32)
     per_word, bits = _pack_geometry(arrays)
@@ -102,7 +157,19 @@ def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
 
 def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
     """Absolute occurrence count before segment s for DENSE code c, under
-    either checkpoint tier (dispatch is static: on occ_ckpt.dtype)."""
+    any checkpoint tier (dispatch is static: on occ_ckpt.dtype).
+
+    vseg (int8/int16): the checkpoint is a DELTA from the linear
+    interpolation between the enclosing L1 group row and the next
+    (occ_l1 is [n_grp + 1, K]; its last row is the total counts), which
+    keeps the per-segment stream at 1 byte/symbol on stationary text."""
+    if arrays.occ_ckpt.dtype in (jnp.int8, jnp.int16):
+        g = s // L1_GROUP
+        frac = s - g * L1_GROUP
+        l0 = arrays.occ_l1[g, c]
+        l1v = arrays.occ_l1[g + 1, c]
+        pred = l0 + ((l1v - l0) * frac) // L1_GROUP
+        return pred + arrays.occ_ckpt[s, c].astype(jnp.int32)
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
         return arrays.occ_l1[s // L1_GROUP, c] + rel
@@ -112,13 +179,13 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
 def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
     """occ for dense codes; cd < 0 counts nothing."""
     seg = seg_size(arrays)
-    n_rows_total = arrays.bwt.shape[0] * seg
+    n_rows_total = n_segments(arrays) * seg
     valid = cd >= 0
     cc = jnp.where(valid, cd, 0)
     # r == n_rows_total happens for padded sharded indexes (row space fills
     # every segment exactly): occ(c, n_rows) = total count = C[c+1] - C[c]
     at_end = r >= n_rows_total
-    s = jnp.minimum(r // seg, arrays.bwt.shape[0] - 1)
+    s = jnp.minimum(r // seg, n_segments(arrays) - 1)
     off = r - s * seg
     base = ckpt_base(arrays, s, cc)                  # [B] gather(s)
     segdata = gather_segments(arrays, s)             # [B, SEG]

@@ -252,7 +252,7 @@ def _select_char(arrays: FMArrays, n: int, c: jax.Array, k: jax.Array):
     ascending in s), then an in-segment cumulative scan — the analog of the
     reference's block_request_row select used by forward stepping
     (index.c:1915)."""
-    n_seg = arrays.bwt.shape[0]
+    n_seg = R.n_segments(arrays)
     seg = R.seg_size(arrays)
     # Phase 1: find largest s with occ_ckpt[s, c] <= k  (rows before seg s).
     lo = jnp.zeros_like(c)

@@ -52,7 +52,7 @@ def test_pad_shape_parity(rng):
                   .astype(np.uint8)) for _ in range(7)]
     prepared = ft.prepare_documents(docs)
     pats = [b"ab", b"ba", b"aa", docs[3][:5], docs[6][-4:], b"zzz"]
-    for tier in ("full", "packed"):
+    for tier in ("full", "packed", "vseg"):
         base = ft.build_index(prepared, seg=64, mark_period=8, tier=tier)
         pad = ft.build_index(
             prepared, seg=64, mark_period=8, tier=tier,

@@ -107,3 +107,60 @@ def test_packed_tier_small_alphabet(rng):
     assert ft.extract_document(pk, 1) == docs[1]
     # index size: packed BWT must be < half the dense uint16 BWT
     assert pk.arrays.bwt.size * 4 < full.arrays.bwt.size * 2 / 2
+
+
+def test_vseg_tier_matches(rng):
+    """vseg tier (per-segment dense remap at per-segment bit width + int8
+    interpolated checkpoints — the compressed serving tier) must answer
+    every query identically to the full tier, including byte-complete
+    corpora (dense K > 256: 9-bit identity segments, uint16 symbol
+    lists).  Behavioral stand-in for the reference's RLE-gamma/Huffman
+    wavelet tree (wtree.c:359-770)."""
+    import tempfile, os
+    from tests.oracle import naive_locate
+
+    docs = [
+        b"banana banana",
+        bytes(rng.integers(0, 256, size=9000).astype(np.uint8)),
+        b"vseg tier check",
+        bytes(range(256)),
+        b"a" * 500,                       # constant segments (w == 0/1)
+    ]
+    prepared = ft.prepare_documents(docs)
+    full = ft.build_index(prepared, seg=64, mark_period=8)
+    vs = ft.build_index(prepared, seg=64, mark_period=8, tier="vseg")
+    assert vs.arrays.bwt.ndim == 1 and str(vs.arrays.bwt.dtype) == "uint32"
+    assert vs.arrays.seg_w is not None
+    pats = [b"banana", b"tier", b"\x00", b"zz", b"ck", bytes([7, 8, 9]),
+            b"aaaa"]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(vs, pats))
+    assert ft.locate(vs, b"banana") == naive_locate(docs, b"banana")
+    for d in range(len(docs)):
+        assert ft.extract_document(vs, d) == docs[d]
+    f, l = ft.count_ranges(vs, [b"tier"])
+    ctx = ft.extract_context(vs, int(f[0]), before=5, pattern_len=4, after=6)
+    assert ctx == b"vseg tier check"
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "idx.ftpu")
+        vs.save_flat(p)
+        vs2 = ft.FMIndex.load(p)
+        assert vs2.arrays.bwt.ndim == 1
+        np.testing.assert_array_equal(ft.count(vs2, pats), ft.count(vs, pats))
+
+
+def test_vseg_tier_smaller(rng):
+    """On a small-alphabet (DNA-like) corpus the vseg tier's BWT stream
+    must land well under the packed tier's fixed-width words (per-segment
+    widths: pure-ACGT segments pack at 2 bits)."""
+    docs = [bytes(rng.choice([65, 67, 71, 84], size=20000).astype(np.uint8))
+            for _ in range(3)]
+    prepared = ft.prepare_documents(docs)
+    vs = ft.build_index(prepared, seg=256, mark_period=20, tier="vseg")
+    pk = ft.build_index(prepared, seg=256, mark_period=20, tier="packed")
+    full = ft.build_index(prepared, seg=256, mark_period=20)
+    pats = [b"ACGT", b"GGG", b"TTTT", b"AC"]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(vs, pats))
+    assert ft.locate(vs, b"GGG") == ft.locate(full, b"GGG")
+    n_words_vseg = int(vs.arrays.bwt.shape[0])
+    n_words_packed = int(pk.arrays.bwt.shape[0] * pk.arrays.bwt.shape[1])
+    assert n_words_vseg < n_words_packed, (n_words_vseg, n_words_packed)
