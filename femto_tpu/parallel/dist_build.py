@@ -811,24 +811,35 @@ def dist_suffix_array(
     return sa, bwt, a_row, jnp.int32(overflow_acc)
 
 
-def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG):
-    """Pad prepared text with trailing 0s to a multiple of D*seg."""
+def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG,
+                      seg_group: int = 1):
+    """Pad prepared text with trailing 0s to a multiple of D*seg*seg_group
+    (seg_group = L1_GROUP for the compact/packed tiers, whose relative
+    checkpoints need whole L1 groups per shard)."""
     n = int(text_np.shape[0])
-    block = D * seg
+    block = D * seg * seg_group
     n_pad = -(-n // block) * block
     out = np.zeros(n_pad, dtype=np.int32)
     out[:n] = text_np.astype(np.int32)
     return out, n_pad
 
 
-def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, *,
+def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
                    n_pad: int, seg: int, ndocs: int, cap_local: int,
-                   axis: str):
+                   tier: str, K: int, axis: str):
     """Per-shard index packaging: each shard packages its own row range —
     the TPU analog of the reference's per-bin write_index_files_node
-    (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI."""
+    (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI.
+
+    tier: "full" (uint16 symbol rows + int32 absolute checkpoints),
+    "compact" (uint16 relative + sharded int32 L1 rows carrying the
+    global base), or "packed" (compact + dense alphabet `used` (int32[K],
+    host-derived, replicated) + bit-packed words) — the sharded editions
+    of build_fm_arrays_device's tiers, so rank.ckpt_base/gather_segments
+    dispatch serves mesh queries for all of them."""
     from ..alphabet import ALPHA_SIZE
-    from ..ops.build_ops import _hist_core
+    from ..fmindex import L1_GROUP
+    from ..ops.build_ops import _hist_core, _pack_stage, _pack_widths
 
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -843,19 +854,50 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, *,
         [bwt_block.astype(jnp.int32), jnp.full((pad_syms,), -1, jnp.int32)]
     ).reshape(nchunks, CH, seg)
     per_seg = _hist_core(b3, ALPHA_SIZE)[:nseg_local]
+    if tier != "full":
+        per_seg = jnp.take(per_seg, used, axis=1)         # [nseg_local, K]
+    A_out = per_seg.shape[1]
     totals = per_seg.sum(axis=0)
-    allt = jax.lax.all_gather(totals, axis)               # [D, A]
+    allt = jax.lax.all_gather(totals, axis)               # [D, A_out]
     base = jnp.sum(
         jnp.where((jnp.arange(D) < me)[:, None], allt, 0), axis=0
     ).astype(jnp.int32)
-    occ_ckpt = base[None, :] + jnp.concatenate(
-        [jnp.zeros((1, ALPHA_SIZE), jnp.int32),
+    occ_abs = base[None, :] + jnp.concatenate(
+        [jnp.zeros((1, A_out), jnp.int32),
          jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32)]
     )
     gtot = jax.lax.psum(totals, axis)   # psum => statically replicated
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(gtot).astype(jnp.int32)]
     )
+    if tier == "full":
+        occ_ckpt = occ_abs
+        occ_l1 = jnp.zeros((1, A_out), jnp.int32)
+    else:
+        # relative checkpoints against SHARDED L1 rows that carry the
+        # global base — rank.ckpt_base works with shard-local segment ids
+        occ_l1 = occ_abs[::L1_GROUP]
+        occ_ckpt = (
+            occ_abs - jnp.repeat(occ_l1, L1_GROUP, axis=0)
+        ).astype(jnp.uint16)
+    if tier == "full":
+        bwt_store = bwt_block.astype(jnp.uint16).reshape(nseg_local, seg)
+    else:
+        # remapped tiers store DENSE codes (the checkpoints/C are dense
+        # columns, and rank.gather_segments returns rows verbatim)
+        alpha_map = (
+            jnp.full((ALPHA_SIZE,), -1, jnp.int32)
+            .at[used].set(jnp.arange(K, dtype=jnp.int32))
+        )
+        if tier == "packed":
+            per_word, bits = _pack_widths(K)
+            bwt_store = _pack_stage(
+                bwt_block.astype(jnp.int32), alpha_map, n=m,
+                n_seg=nseg_local, seg=seg, per_word=per_word, bits=bits,
+            )
+        else:
+            bwt_store = alpha_map[bwt_block.astype(jnp.int32)].astype(
+                jnp.uint16).reshape(nseg_local, seg)
 
     # --- marks: bitmap + GLOBAL-count checkpoints + local value store ---
     marked = (a_row_block & 1) != 0
@@ -893,8 +935,7 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, *,
     doc_seof_rows = jax.lax.psum(dpart, axis)
     n_marks = jax.lax.psum(local_marks, axis)
 
-    bwt2d = bwt_block.astype(jnp.uint16).reshape(nseg_local, seg)
-    return (bwt2d, occ_ckpt, C, mark_bits, mark_ckpt, mark_vals,
+    return (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt, mark_vals,
             doc_seof_rows, n_marks, jax.lax.pmax(mark_overflow, axis))
 
 
@@ -907,6 +948,7 @@ def build_index_sharded(
     cap_factor: float = 4.0,
     max_retries: int = 3,
     checkpoint_dir: Optional[str] = None,
+    tier: str = "full",
 ):
     """Distributed end-to-end build, fully on device: SA/BWT via the
     sharded sample sort, then per-shard packaging (_package_shard) — no
@@ -917,19 +959,28 @@ def build_index_sharded(
     strings that no pattern can match, so queries over [row0, n_rows) are
     exact.
 
+    tier: "full", "compact", or "packed" — the sharded editions of the
+    single-chip storage tiers (_package_shard docstring); sharded queries
+    (parallel/dist_query) serve all three.
+
     Returns an FMIndex whose arrays live sharded across `mesh`.
     """
     from ..alphabet import ALPHA_SIZE
-    from ..fmindex import FMIndex, FMMeta
+    from ..fmindex import FMIndex, FMMeta, L1_GROUP
     from ..ops.build_ops import mark_cap
     from .mesh import replicated
 
+    if tier not in ("full", "compact", "packed"):
+        raise ValueError(f"unknown sharded tier {tier!r}")
+    if tier != "full" and seg * L1_GROUP > 0xFFFF:
+        raise ValueError("compact/packed tiers need seg * L1_GROUP <= 65535")
     D = mesh.devices.size
     n = prepared.n
     ndocs = prepared.num_docs
     from .distributed import put_global
 
-    text_pad, n_pad = pad_text_for_mesh(prepared.text, D, seg)
+    text_pad, n_pad = pad_text_for_mesh(
+        prepared.text, D, seg, seg_group=1 if tier == "full" else L1_GROUP)
     sharding = NamedSharding(mesh, P(axis))
     rep0 = NamedSharding(mesh, P())
     text_dev = put_global(text_pad, sharding)
@@ -941,6 +992,11 @@ def build_index_sharded(
     alpha = np.nonzero(
         np.bincount(np.asarray(prepared.text).astype(np.int64),
                     minlength=512))[0].astype(np.int32)
+    # the BWT of the padded text also contains the pad symbol 0
+    used_np = (np.unique(np.concatenate([[0], alpha])).astype(np.int32)
+               if n_pad > n else alpha)
+    K = int(used_np.shape[0])
+    used_dev = put_global(used_np, rep0)
 
     cf = cap_factor
     for attempt in range(max_retries):
@@ -976,16 +1032,18 @@ def build_index_sharded(
     while True:
         fn = functools.partial(
             _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
-            cap_local=cap_local, axis=axis,
+            cap_local=cap_local, tier=tier, K=K, axis=axis,
         )
+        l1_spec = P() if tier == "full" else P(axis, None)
         mapped = jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()),
-            out_specs=(P(axis, None), P(axis, None), P(), P(axis, None),
-                       P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis, None), P(axis, None), l1_spec, P(),
+                       P(axis, None), P(axis), P(axis), P(), P(), P()),
         )
-        (bwt2d, occ_ckpt, C, mark_bits, mark_ckpt, mark_vals, doc_seof_rows,
-         n_marks, mark_of) = jax.jit(mapped)(sa, bwt, a_row, doc_starts_dev)
+        (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt, mark_vals,
+         doc_seof_rows, n_marks, mark_of) = jax.jit(mapped)(
+            sa, bwt, a_row, doc_starts_dev, used_dev)
         if int(jax.device_get(mark_of)) <= 0:
             break
         if cap_local >= cap_total:
@@ -993,23 +1051,30 @@ def build_index_sharded(
         cap_local = min(cap_local * 4, cap_total)
 
     rep = replicated(mesh)
-    ident = np.arange(ALPHA_SIZE, dtype=np.int32)
+    if tier == "full":
+        amap = np.arange(ALPHA_SIZE, dtype=np.int32)
+        arev = np.arange(ALPHA_SIZE, dtype=np.int32)
+    else:
+        amap = np.full(ALPHA_SIZE, -1, np.int32)
+        amap[used_np] = np.arange(K, dtype=np.int32)
+        arev = used_np
     arrays = FMArrays(
-        bwt=bwt2d,
+        bwt=bwt_store,
         occ_ckpt=occ_ckpt,
-        occ_l1=put_global(np.zeros((1, ALPHA_SIZE), np.int32), rep),
+        occ_l1=occ_l1,
         C=C,
         mark_bits=mark_bits,
         mark_ckpt=mark_ckpt,
         mark_vals=mark_vals,
         doc_starts=doc_starts_dev,
         doc_seof_rows=doc_seof_rows,
-        alpha_map=put_global(ident, rep),
-        alpha_rev=put_global(ident, rep),
+        alpha_map=put_global(amap, rep),
+        alpha_rev=put_global(arev, rep),
     )
     meta = FMMeta(
         n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
         n_marks=int(n_marks), n_seg=n_pad // seg,
+        alpha_used=0 if tier == "full" else K,
         n_rows=n_pad, row0=n_pad - n,
     )
     return FMIndex(

@@ -22,19 +22,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..alphabet import ALPHA_SIZE
 from ..fmindex import FMArrays, FMMeta
+from ..ops import rank as R
 from . import bins
 from .mesh import DEFAULT_AXIS
 
+# Tier support: every helper below goes through ops/rank's
+# ckpt_base/gather_segments dispatch with SHARD-LOCAL segment ids, so a
+# shard's arrays behave exactly like a small single-device index whose
+# checkpoints carry the global base (_package_shard lays them out that
+# way).  full / compact / packed sharded tiers all serve queries.
 
-def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
-               c: jax.Array, r: jax.Array) -> jax.Array:
-    """Local contribution to occ(c, r); psum'd by the caller."""
-    seg = arrays.bwt.shape[1]
+
+def _map_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
+    """Alphabet char -> dense code (-1 = absent/invalid, counts nothing)."""
+    cd = R.map_char(arrays, c)
+    if not R.is_remapped(arrays):
+        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
+    return cd
+
+
+def _occ_local_dense(arrays: FMArrays, nseg_local: int, axis: str,
+                     cd: jax.Array, r: jax.Array) -> jax.Array:
+    """Local contribution to occ(dense cd, r); psum'd by the caller."""
+    seg = R.seg_size(arrays)
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     n_rows_total = D * nseg_local * seg
-    valid = (c >= 0) & (c < ALPHA_SIZE)
-    cc = jnp.where(valid, c, 0)
+    valid = cd >= 0
+    cc = jnp.where(valid, cd, 0)
     # r == n_rows_total (the initial `last` of a padded sharded build) has
     # no owning segment: occ(c, n_rows) = total occurrences of c in the
     # BWT = C[c+1] - C[c]; shard 0 contributes it so the psum stays exact.
@@ -44,8 +59,8 @@ def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
     mine = valid & (~at_end) & (sl >= 0) & (sl < nseg_local)
     sl = jnp.where(mine, sl, 0)
     off = r - s * seg
-    base = arrays.occ_ckpt[sl, cc]
-    segdata = jnp.take(arrays.bwt, sl, axis=0).astype(jnp.int32)
+    base = R.ckpt_base(arrays, sl, cc)
+    segdata = R.gather_segments(arrays, sl)
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
@@ -57,25 +72,46 @@ def _occ_local(arrays: FMArrays, nseg_local: int, axis: str,
 
 def occ_sharded(arrays: FMArrays, nseg_local: int, axis: str,
                 c: jax.Array, r: jax.Array) -> jax.Array:
-    return jax.lax.psum(_occ_local(arrays, nseg_local, axis, c, r), axis)
+    """occ over ALPHABET chars c (remapped per tier)."""
+    cd = _map_char(arrays, c.astype(jnp.int32))
+    return jax.lax.psum(
+        _occ_local_dense(arrays, nseg_local, axis, cd, r), axis)
+
+
+def backward_step_pair_sharded(arrays: FMArrays, nseg_local: int, axis: str,
+                               c: jax.Array, first: jax.Array,
+                               last: jax.Array):
+    """One FM backward step over the mesh — the sharded twin of
+    rank.backward_step_pair (absent chars yield empty (0, 0) ranges)."""
+    cd = _map_char(arrays, c.astype(jnp.int32))
+    valid = cd >= 0
+    base = arrays.C[jnp.where(valid, cd, 0)]
+    o1 = jax.lax.psum(
+        _occ_local_dense(arrays, nseg_local, axis, cd, first), axis)
+    o2 = jax.lax.psum(
+        _occ_local_dense(arrays, nseg_local, axis, cd, last), axis)
+    z = jnp.zeros_like(first)
+    return (jnp.where(valid, base + o1, z), jnp.where(valid, base + o2, z))
 
 
 def bwt_at_sharded(arrays: FMArrays, nseg_local: int, axis: str,
                    r: jax.Array) -> jax.Array:
-    seg = arrays.bwt.shape[1]
+    """Dense BWT code at row r (psum over the owner's contribution)."""
+    seg = R.seg_size(arrays)
     me = jax.lax.axis_index(axis)
     s = r // seg
     sl = s - me * nseg_local
     mine = (sl >= 0) & (sl < nseg_local)
-    sl = jnp.where(mine, sl, 0)
-    v = arrays.bwt[sl, r - s * seg].astype(jnp.int32)
+    rl = jnp.where(mine, sl, 0) * seg + jnp.clip(r - s * seg, 0, seg - 1)
+    v = R.bwt_code_at(arrays, rl)
     return jax.lax.psum(jnp.where(mine, v, 0), axis)
 
 
 def lf_step_sharded(arrays: FMArrays, nseg_local: int, axis: str,
                     r: jax.Array) -> jax.Array:
-    c = bwt_at_sharded(arrays, nseg_local, axis, r)
-    return arrays.C[c] + occ_sharded(arrays, nseg_local, axis, c, r)
+    cd = bwt_at_sharded(arrays, nseg_local, axis, r)
+    return arrays.C[cd] + jax.lax.psum(
+        _occ_local_dense(arrays, nseg_local, axis, cd, r), axis)
 
 
 def _backward_search_body(arrays: FMArrays, pats: jax.Array, *, n: int,
@@ -88,12 +124,10 @@ def _backward_search_body(arrays: FMArrays, pats: jax.Array, *, n: int,
     def step(carry, col):
         first, last = carry
         active = col >= 0
-        c = jnp.where(active, col, 0)
-        o1 = occ_sharded(arrays, nseg_local, axis, c, first)
-        o2 = occ_sharded(arrays, nseg_local, axis, c, last)
-        base = arrays.C[c]
-        first = jnp.where(active, base + o1, first)
-        last = jnp.where(active, base + o2, last)
+        nf, nl = backward_step_pair_sharded(
+            arrays, nseg_local, axis, jnp.where(active, col, 0), first, last)
+        first = jnp.where(active, nf, first)
+        last = jnp.where(active, nl, last)
         return (first, last), None
 
     (first, last), _ = jax.lax.scan(step, (first, last), cols)
@@ -103,7 +137,7 @@ def _backward_search_body(arrays: FMArrays, pats: jax.Array, *, n: int,
 def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
                  nseg_local: int, axis: str):
     """Sharded locate: LF-walk to marked rows with mark metadata sharded."""
-    seg = arrays.bwt.shape[1]
+    seg = R.seg_size(arrays)
     me = jax.lax.axis_index(axis)
     mv_local = arrays.mark_vals.shape[0]  # per-shard value store capacity
 
@@ -151,21 +185,22 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
 
 
 def _occ_owner_compute(arrays: FMArrays, nseg_local: int, axis: str,
-                       rows: jax.Array, cc: jax.Array) -> jax.Array:
-    """occ(c, row) for requests routed to their owning shard (absolute
-    checkpoints carry the global base, so no psum is needed)."""
-    seg = arrays.bwt.shape[1]
+                       rows: jax.Array, cd: jax.Array) -> jax.Array:
+    """occ(dense cd, row) for requests routed to their owning shard (the
+    shard's checkpoints carry the global base, so no psum is needed);
+    requesters map chars to dense codes before routing."""
+    seg = R.seg_size(arrays)
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     n_rows_total = D * nseg_local * seg
-    valid = (cc >= 0) & (cc < ALPHA_SIZE)
-    c = jnp.where(valid, cc, 0)
+    valid = cd >= 0
+    c = jnp.where(valid, cd, 0)
     at_end = rows >= n_rows_total
     s = rows // seg
     sl = jnp.clip(s - me * nseg_local, 0, nseg_local - 1)
     off = rows - s * seg
-    base = arrays.occ_ckpt[sl, c]
-    segdata = jnp.take(arrays.bwt, sl, axis=0).astype(jnp.int32)
+    base = R.ckpt_base(arrays, sl, c)
+    segdata = R.gather_segments(arrays, sl)
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == c[:, None]) & (iota < off[:, None]), axis=1
@@ -187,20 +222,22 @@ def _backward_search_routed_body(arrays: FMArrays, pats_local: jax.Array,
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     B_local, P = pats_local.shape
-    R = 2 * B_local
-    seg = arrays.bwt.shape[1]
+    RR = 2 * B_local
+    seg = R.seg_size(arrays)
     rows_per_shard = nseg_local * seg
     first0 = jnp.full(B_local, row0, dtype=jnp.int32)
     last0 = jnp.full(B_local, n, dtype=jnp.int32)
     cols = jnp.flip(pats_local, axis=1).T
-    rid_local = me * R + jnp.arange(R, dtype=jnp.int32)
+    rid_local = me * RR + jnp.arange(RR, dtype=jnp.int32)
 
     def step(carry, xs):
         first, last, of = carry
         col, kkey = xs
         active = col >= 0
+        # map to dense codes BEFORE routing (alpha tables are replicated)
+        cd1 = _map_char(arrays, col.astype(jnp.int32))
         rows = jnp.concatenate([first, last])
-        cc = jnp.concatenate([col, col]).astype(jnp.int32)
+        cc = jnp.concatenate([cd1, cd1])
         dest = jnp.minimum(rows // rows_per_shard, D - 1)
         recs, v, of1 = bins.valiant_exchange(
             dest, [rows, cc, rid_local], cap, axis, kkey
@@ -210,15 +247,19 @@ def _backward_search_routed_body(arrays: FMArrays, pats_local: jax.Array,
             jnp.where(v, recs[0], 0), jnp.where(v, recs[1], -1),
         )
         back, v2, of2 = bins.valiant_exchange(
-            recs[2] // R, [recs[2], vals], cap, axis,
+            recs[2] // RR, [recs[2], vals], cap, axis,
             jax.random.fold_in(kkey, 1), valid=v,
         )
-        slot = jnp.where(v2, back[0] - me * R, R)
-        o = jnp.zeros((R,), jnp.int32).at[slot].set(back[1], mode="drop")
+        slot = jnp.where(v2, back[0] - me * RR, RR)
+        o = jnp.zeros((RR,), jnp.int32).at[slot].set(back[1], mode="drop")
         o1, o2 = o[:B_local], o[B_local:]
-        base = arrays.C[jnp.where(active, col, 0)]
-        first = jnp.where(active, base + o1, first)
-        last = jnp.where(active, base + o2, last)
+        valid_c = cd1 >= 0
+        base = arrays.C[jnp.where(valid_c, cd1, 0)]
+        z = jnp.zeros_like(first)
+        first = jnp.where(
+            active, jnp.where(valid_c, base + o1, z), first)
+        last = jnp.where(
+            active, jnp.where(valid_c, base + o2, z), last)
         of = jnp.maximum(of, jnp.maximum(of1, of2))
         return (first, last, of), None
 
@@ -239,7 +280,7 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     B_local = rows_local.shape[0]
-    seg = arrays.bwt.shape[1]
+    seg = R.seg_size(arrays)
     rows_per_shard = nseg_local * seg
     mv_local = arrays.mark_vals.shape[0]
     rid_local = me * B_local + jnp.arange(B_local, dtype=jnp.int32)
@@ -250,9 +291,9 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
                      me * nseg_local + nseg_local - 1)
         sl = s - me * nseg_local
         off = r - s * seg
-        segdata = jnp.take(arrays.bwt, sl, axis=0).astype(jnp.int32)
+        segdata = R.gather_segments(arrays, sl)
         c = segdata[jnp.arange(r.shape[0]), jnp.clip(off, 0, seg - 1)]
-        base = arrays.occ_ckpt[sl, c]
+        base = R.ckpt_base(arrays, sl, c)
         iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
         within = jnp.sum(
             (segdata == c[:, None]) & (iota < off[:, None]), axis=1
@@ -305,12 +346,16 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
     return offs, jax.lax.pmax(of, axis)
 
 
-def _specs_for_arrays(axis: str):
-    """PartitionSpecs matching build_index_sharded's placement."""
+def _specs_for_arrays(axis: str, arrays: FMArrays = None):
+    """PartitionSpecs matching build_index_sharded's placement (occ_l1 is
+    sharded for the compact/packed tiers, a replicated dummy for full)."""
+    l1_spec = P()
+    if arrays is not None and arrays.occ_l1.shape[0] > 1:
+        l1_spec = P(axis, None)
     return FMArrays(
         bwt=P(axis, None),
         occ_ckpt=P(axis, None),
-        occ_l1=P(),
+        occ_l1=l1_spec,
         C=P(),
         mark_bits=P(axis, None),
         mark_ckpt=P(axis),
@@ -340,11 +385,6 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
     back to the masked-psum scheme as a last resort.
     """
     meta: FMMeta = index.meta
-    if index.arrays.occ_ckpt.dtype != jnp.int32:
-        raise ValueError(
-            "sharded queries need the absolute (int32) checkpoint tier; "
-            "build with compact=False for mesh sharding"
-        )
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
     pats = np.asarray(pats)
@@ -364,7 +404,7 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
             )
             mapped = jax.shard_map(
                 fn, mesh=mesh,
-                in_specs=(_specs_for_arrays(axis), P(axis, None), P()),
+                in_specs=(_specs_for_arrays(axis, index.arrays), P(axis, None), P()),
                 out_specs=(P(axis), P(axis), P()),
             )
             first, last, of = jax.jit(mapped)(
@@ -381,7 +421,7 @@ def sharded_backward_search(index, mesh: Mesh, pats: np.ndarray,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(_specs_for_arrays(axis), P()),
+        in_specs=(_specs_for_arrays(axis, index.arrays), P()),
         out_specs=(P(), P()),
     )
     return jax.jit(mapped)(index.arrays, jnp.asarray(pats))
@@ -398,11 +438,6 @@ def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
     owning shard (per-shard gather load ~B/D); retries with larger exchange
     capacity on hot-row skew and falls back to the masked-psum walk."""
     meta: FMMeta = index.meta
-    if index.arrays.occ_ckpt.dtype != jnp.int32:
-        raise ValueError(
-            "sharded queries need the absolute (int32) checkpoint tier; "
-            "build with compact=False for mesh sharding"
-        )
     D = mesh.devices.size
     nseg_local = meta.n_seg // D
     rows = np.asarray(rows)
@@ -420,7 +455,7 @@ def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
             )
             mapped = jax.shard_map(
                 fn, mesh=mesh,
-                in_specs=(_specs_for_arrays(axis), P(axis), P()),
+                in_specs=(_specs_for_arrays(axis, index.arrays), P(axis), P()),
                 out_specs=(P(axis), P()),
             )
             offs, of = jax.jit(mapped)(
@@ -436,7 +471,187 @@ def sharded_locate(index, mesh: Mesh, rows: np.ndarray,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(_specs_for_arrays(axis), P()),
+        in_specs=(_specs_for_arrays(axis, index.arrays), P()),
         out_specs=P(),
     )
     return jax.jit(mapped)(index.arrays, jnp.asarray(rows))
+
+# ---------------------------------------------------------------------------
+# Sharded regex / query language: the device lockstep frontier
+# (query/regexp_device._frontier_loop) runs REPLICATED inside shard_map —
+# frontier state is identical on every device, and each backward step's
+# rank lookups are answered cooperatively by one psum over the sharded
+# arrays.  This serves every query type from distributed block storage,
+# the analog of the reference's leaf-query routing (server.c regexp
+# queries against remote blocks).
+# ---------------------------------------------------------------------------
+
+
+def _regexp_body(arrays, src, dst, mask, accept, costs0, *, cfg,
+                 nseg_local, axis):
+    from ..query.regexp_device import _frontier_loop
+
+    def step(c, f, l):
+        return backward_step_pair_sharded(arrays, nseg_local, axis, c, f, l)
+
+    return _frontier_loop(step, src, dst, mask, accept, costs0, cfg)
+
+
+def sharded_regexp_matches(index, mesh: Mesh, nfa, settings=None,
+                           axis: str = DEFAULT_AXIS,
+                           frontier_cap: int = 256,
+                           results_cap: int = 4096,
+                           max_len: int = 64):
+    """Run the NFA frontier against a mesh-sharded index.  Returns
+    deduped [RegexpMatch] (match strings empty — row ranges + costs)."""
+    from ..query.ast import ApproxSettings
+    from ..query.regexp import NO_COST, RegexpMatch, _start_costs, \
+        dedupe_matches
+    from ..query import regexp_device as RD
+
+    if settings is None:
+        settings = ApproxSettings.exact()
+    meta: FMMeta = index.meta
+    D = mesh.devices.size
+    nseg_local = meta.n_seg // D
+    src, dst, mask, accept, S_pad, T_pad = RD._nfa_device_arrays(nfa)
+    c0 = np.full(S_pad, NO_COST, np.int32)
+    c0[: nfa.num_states] = _start_costs(nfa, settings).astype(np.int32)
+    costs0 = jnp.asarray(c0)
+    del_rounds = (
+        0 if settings.cost_bound <= 1
+        else max(1, -(-settings.cost_bound // max(settings.delete_cost, 1)))
+    )
+    while True:
+        cfg = RD._Static(
+            n=meta.n_rows, row0=meta.row0, S=S_pad, T=T_pad,
+            F=frontier_cap, R=results_cap, max_len=max_len,
+            cost_bound=settings.cost_bound, subst=settings.subst_cost,
+            delete=settings.delete_cost, insert=settings.insert_cost,
+            del_rounds=del_rounds,
+        )
+        fn = functools.partial(_regexp_body, cfg=cfg,
+                               nseg_local=nseg_local, axis=axis)
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(_specs_for_arrays(axis, index.arrays),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+        )
+        rf, rl, rc, rlen, cnt, of = jax.jit(
+            mapped, static_argnames=())(
+            index.arrays, src, dst, mask, accept, costs0)
+        if int(of) <= 0:
+            break
+        if (frontier_cap >= 16384 and results_cap >= 262144
+                and max_len >= 1024):
+            raise RuntimeError("sharded regex frontier overflow at caps")
+        frontier_cap = min(frontier_cap * 4, 16384)
+        results_cap = min(results_cap * 4, 262144)
+        max_len = min(max_len * 4, 1024)
+    cnt = int(cnt)
+    rf = np.asarray(rf)[:cnt]
+    rl = np.asarray(rl)[:cnt]
+    rc = np.asarray(rc)[:cnt]
+    return dedupe_matches(
+        [RegexpMatch(int(f), int(l), int(c), b"")
+         for f, l, c in zip(rf, rl, rc)]
+    )
+
+
+def sharded_term_ranges(index, mesh: Mesh, term, axis: str = DEFAULT_AXIS):
+    """Row ranges (first, last, cost) of one query term against a sharded
+    index: literal terms run the batched sharded backward search, regex /
+    approx terms run the sharded frontier."""
+    from ..alphabet import pattern_to_alpha
+    from ..query.ast import as_literal
+    from ..query.nfa import compile_nfa
+    from ..query.planning import matches_empty, streamline
+    from ..search import pack_patterns
+
+    regexp = streamline(term.regexp)
+    if matches_empty(regexp):
+        return [(index.meta.row0, index.meta.n_rows, 0)]
+    lit = as_literal(regexp)
+    if lit is not None and term.approx.cost_bound <= 1:
+        packed, _ = pack_patterns([pattern_to_alpha(lit)])
+        first, last = sharded_backward_search(index, mesh, packed, axis)
+        f, l = int(np.asarray(first)[0]), int(np.asarray(last)[0])
+        return [(f, l, 0)] if l > f else []
+    nfa = compile_nfa(regexp)
+    matches = sharded_regexp_matches(index, mesh, nfa, term.approx, axis)
+    return [(m.first, m.last, m.cost) for m in matches]
+
+
+def sharded_count_query(index, mesh: Mesh, query: str,
+                        icase: bool = False,
+                        axis: str = DEFAULT_AXIS) -> int:
+    """count_query against a mesh-sharded index: total matching positions
+    for a term query (regex/approx included), matching-document count for
+    Boolean queries (engine.count_query semantics, served entirely from
+    the sharded arrays: ranges via psum frontier, offsets via
+    sharded_locate)."""
+    from ..query.engine import apply_icase
+    from ..query.parser import parse_query
+    from ..query.ast import QTerm
+    from ..query.regexp import RegexpMatch, match_rows
+
+    node = parse_query(query)
+    if icase:
+        node = apply_icase(node)
+    if isinstance(node, QTerm):
+        iv = match_rows(
+            [RegexpMatch(f, l, c, b"")
+             for f, l, c in sharded_term_ranges(index, mesh, node, axis)]
+        )
+        return sum(l - f for f, l in iv)
+    res = _sharded_execute(index, mesh, node, axis)
+    return len(res.doc_set())
+
+
+def _sharded_locate_docs(index, mesh, iv, axis):
+    """(docs, offsets) for a union of row intervals, via sharded locate."""
+    from ..search import offsets_to_docs
+
+    D = mesh.devices.size
+    rows = np.concatenate(
+        [np.arange(f, l, dtype=np.int32) for f, l in iv]
+        or [np.zeros(0, np.int32)]
+    )
+    if rows.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pad = (-len(rows)) % D
+    rowsp = np.concatenate([rows, np.full(pad, rows[0], np.int32)])
+    offs = np.asarray(sharded_locate(index, mesh, rowsp, axis))[:len(rows)]
+    return offsets_to_docs(index, offs.astype(np.int64))
+
+
+def _sharded_execute(index, mesh, node, axis):
+    """engine.execute against a sharded index: term results come from
+    sharded ranges + sharded locate; Boolean combinators are the same
+    host-side Results algebra (query/results.py)."""
+    from ..query.ast import QAnd, QNot, QOr, QTerm, QThen, QWithin
+    from ..query.regexp import RegexpMatch, match_rows
+    from ..query.results import Results, intersect, subtract, then_within, \
+        union
+
+    if isinstance(node, QTerm):
+        ranges = sharded_term_ranges(index, mesh, node, axis)
+        iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
+        docs, offs = _sharded_locate_docs(index, mesh, iv, axis)
+        res = Results.from_doc_offsets(docs, offs)
+        res.count = sum(l - f for f, l in iv)
+        return res
+    a = _sharded_execute(index, mesh, node.left, axis)
+    b = _sharded_execute(index, mesh, node.right, axis)
+    if isinstance(node, QAnd):
+        return intersect(a, b)
+    if isinstance(node, QOr):
+        return union(a, b)
+    if isinstance(node, QNot):
+        return subtract(a, b)
+    if isinstance(node, QThen):
+        return then_within(a, b, node.distance, ordered=True)
+    if isinstance(node, QWithin):
+        return then_within(a, b, node.distance, ordered=False)
+    raise TypeError(node)

@@ -89,6 +89,18 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
     """Returns (res_first, res_last, res_cost [R], res_count, overflow)."""
     from ..ops.rank import backward_step_pair
 
+    return _frontier_loop(
+        functools.partial(backward_step_pair, arrays),
+        src, dst, mask, accept, costs0, cfg,
+    )
+
+
+def _frontier_loop(step_pair, src, dst, mask, accept, costs0, cfg: _Static):
+    """The frontier search, generic over the backward-step implementation:
+    step_pair(chars, first, last) -> (new_first, new_last).  Called by
+    _run_device (single-device rank ops) and by the mesh engine
+    (parallel/dist_query._regexp_body: the same loop runs REPLICATED
+    inside shard_map, with psum-based steps against sharded arrays)."""
     F, S, T, R = cfg.F, cfg.S, cfg.T, cfg.R
     A = ALPHA_SIZE
 
@@ -146,7 +158,7 @@ def _run_device(arrays, src, dst, mask, accept, costs0, cfg: _Static):
         cflat = jnp.broadcast_to(chars[None, :], (F, A)).reshape(-1)
         fflat = jnp.broadcast_to(first[:, None], (F, A)).reshape(-1)
         lflat = jnp.broadcast_to(last[:, None], (F, A)).reshape(-1)
-        nf_flat, nl_flat = backward_step_pair(arrays, cflat, fflat, lflat)
+        nf_flat, nl_flat = step_pair(cflat, fflat, lflat)
         nf = nf_flat.reshape(F, A)
         nl = nl_flat.reshape(F, A)
         valid = reach & (nl > nf)
