@@ -594,8 +594,6 @@ def build_index(
         n_build, ndocs_build = pad_shape
         if not device_build:
             raise ValueError("pad_shape requires device_build=True")
-        if doc_chunks:
-            raise ValueError("pad_shape does not support doc_chunks")
         if sa is not None or checkpoint_dir is not None:
             raise ValueError("pad_shape is incompatible with a "
                              "precomputed/checkpointed suffix array")
@@ -704,10 +702,17 @@ def build_index(
         ),
     )
     if doc_chunks:
-        sa_np = np.asarray(sa_dev if device_build else sa).astype(np.int64)
-        offs, docs_arr = compute_chunk_doc_lists(
-            sa_np, prepared.doc_starts, seg, meta.n_seg
-        )
+        if device_build:
+            # device pass (works under pad_shape: pad rows drop out)
+            from .ops.build_ops import build_doc_lists_device
+
+            offs, docs_arr = build_doc_lists_device(
+                sa_dev, doc_starts_dev, n=n, n_seg=meta.n_seg, seg=seg)
+        else:
+            sa_np = np.asarray(sa).astype(np.int64)
+            offs, docs_arr = compute_chunk_doc_lists(
+                sa_np, prepared.doc_starts, seg, meta.n_seg
+            )
         index.chunk_doc_offsets_np = offs
         index.chunk_docs_np = docs_arr
     return index

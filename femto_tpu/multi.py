@@ -128,6 +128,7 @@ def build_chunked(docs: Sequence[bytes], chunk_docs: int,
     from .alphabet import prepare_documents
     from .fmindex import build_index
 
+    build_kwargs.setdefault("doc_chunks", True)
     indexes = []
     for i in range(0, len(docs), chunk_docs):
         prepared = prepare_documents(docs[i : i + chunk_docs])
@@ -150,6 +151,11 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
     39-bit offsets, index_tool.cc:45-46): per-chunk row ids stay int32 on
     device, while doc ids and offsets compose to global int64 on the host —
     exactly the per-shard-int32 / int64-composition scheme of SURVEY §7.
+
+    Chunk doc-lists (block_format.txt:105-151) are built BY DEFAULT
+    (doc_chunks=True in build_kwargs; pass False to skip): docs-only
+    queries then serve whole segments from the per-segment lists instead
+    of per-row locate.
 
     uniform=True (default) buckets every chunk to one shared build shape
     (max chunk symbols/docs, via build_index's pad_shape): chunk
@@ -189,8 +195,9 @@ def build_chunked_prepared(prepared, max_chunk_symbols: int = MAX_CHUNK_SYMBOLS,
             )
         bounds.append((d0, d1))
         d0 = d1
+    build_kwargs.setdefault("doc_chunks", True)
     pad_shape = None
-    if uniform and len(bounds) > 1 and not build_kwargs.get("doc_chunks"):
+    if uniform and len(bounds) > 1:
         pad_shape = (
             max(int(starts[d1]) - int(starts[d0]) for d0, d1 in bounds),
             max(d1 - d0 for d0, d1 in bounds),

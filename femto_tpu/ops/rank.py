@@ -236,6 +236,94 @@ def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
             _occ_dense(arrays, cd, r2.astype(jnp.int32)))
 
 
+def _occ_dense_parts(arrays: FMArrays, cd: jax.Array, r: jax.Array):
+    """_occ_dense, also returning (segdata, base, s) so a second bound in
+    the SAME segment can be served without another gather."""
+    seg = seg_size(arrays)
+    n_rows_total = n_segments(arrays) * seg
+    valid = cd >= 0
+    cc = jnp.where(valid, cd, 0)
+    at_end = r >= n_rows_total
+    s = jnp.minimum(r // seg, n_segments(arrays) - 1)
+    off = r - s * seg
+    base = ckpt_base(arrays, s, cc)
+    segdata = gather_segments(arrays, s)
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    within = jnp.sum(
+        (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    occ1 = jnp.where(valid, jnp.where(at_end, total, base + within), 0)
+    return occ1, segdata, base, s
+
+
+def occ2_shared(arrays: FMArrays, cd: jax.Array, r1: jax.Array,
+                r2: jax.Array, compact_cap: int = 0):
+    """(occ(cd, r1), occ(cd, r2)) for DENSE codes, serving r2 from r1's
+    already-gathered segment row whenever both bounds share a segment.
+
+    Gather ROWS are the count kernel's budget (58 ns/row flat 128-512B,
+    no duplicate-row dedupe in hardware — PERF.md round-2 design space),
+    so the win requires actually issuing fewer rows: with compact_cap > 0
+    the differing-segment lanes are compacted into a [compact_cap]
+    sub-batch on device (cumsum + scatter, no host sync) and only those
+    lanes gather a second segment row; when more than compact_cap lanes
+    differ (early steps), a lax.cond falls back to the full-width second
+    gather.  ~Converged searches (long patterns) issue ~half the rows."""
+    occ1, segdata1, base1, s1 = _occ_dense_parts(arrays, cd, r1)
+    seg = seg_size(arrays)
+    n_rows_total = n_segments(arrays) * seg
+    valid = cd >= 0
+    cc = jnp.where(valid, cd, 0)
+    at_end2 = r2 >= n_rows_total
+    s2 = jnp.minimum(r2 // seg, n_segments(arrays) - 1)
+    off2 = r2 - s2 * seg
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata1.shape, 1)
+    within2_shared = jnp.sum(
+        (segdata1 == cc[:, None]) & (iota < off2[:, None]), axis=1
+    ).astype(jnp.int32)
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    same = (s2 == s1) & valid & ~at_end2
+    o2_shared = base1 + within2_shared
+
+    B = cd.shape[0]
+    need = valid & ~at_end2 & ~same
+    if compact_cap <= 0 or compact_cap >= B:
+        o2_full = _occ_dense(arrays, cd, r2)
+        o2 = jnp.where(same, o2_shared, o2_full)
+        return occ1, jnp.where(valid, jnp.where(at_end2, total, o2), 0)
+
+    nd = jnp.sum(need.astype(jnp.int32))
+
+    def compacted(_):
+        pos = jnp.cumsum(need.astype(jnp.int32)) - 1
+        tgt = jnp.where(need & (pos < compact_cap), pos, compact_cap)
+        sub_s = jnp.zeros((compact_cap + 1,), jnp.int32).at[tgt].set(
+            s2, mode="drop")[:compact_cap]
+        sub_c = jnp.zeros((compact_cap + 1,), jnp.int32).at[tgt].set(
+            cc, mode="drop")[:compact_cap]
+        sub_off = jnp.zeros((compact_cap + 1,), jnp.int32).at[tgt].set(
+            off2, mode="drop")[:compact_cap]
+        sub_base = ckpt_base(arrays, sub_s, sub_c)
+        sub_seg = gather_segments(arrays, sub_s)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, sub_seg.shape, 1)
+        sub_within = jnp.sum(
+            (sub_seg == sub_c[:, None]) & (sub_iota < sub_off[:, None]),
+            axis=1,
+        ).astype(jnp.int32)
+        sub_o = sub_base + sub_within                    # [cap]
+        # lane i's answer sits at sub slot pos[i]
+        return jnp.where(
+            need, sub_o[jnp.clip(pos, 0, compact_cap - 1)], 0)
+
+    def full(_):
+        return jnp.where(need, _occ_dense(arrays, cd, r2), 0)
+
+    o2_diff = jax.lax.cond(nd <= compact_cap, compacted, full, 0)
+    o2 = jnp.where(same, o2_shared, o2_diff)
+    return occ1, jnp.where(valid, jnp.where(at_end2, total, o2), 0)
+
+
 def bwt_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """BWT symbol at each row, in ALPHABET space (int32[B])."""
     return unmap_char(arrays, bwt_code_at(arrays, r))

@@ -49,6 +49,43 @@ def backward_search(arrays: FMArrays, n: int, pats: jax.Array,
     return first, last
 
 
+def backward_search_shared(arrays: FMArrays, n: int, pats: jax.Array,
+                           row0: int = 0, compact_cap: int = None):
+    """backward_search with the shared-segment pair rank (rank.occ2_shared):
+    once a query's range fits one segment — most steps of long patterns —
+    the `last` bound is served from `first`'s gathered row, and the
+    remaining differing-segment lanes compact into a [compact_cap]
+    sub-batch before their second gather (device-side, no host sync).
+    Measured variant for the count-kernel row budget (PERF.md)."""
+    B, P = pats.shape
+    if compact_cap is None:
+        compact_cap = max(B // 2, 1)
+    first0 = jnp.full(B, row0, dtype=jnp.int32)
+    last0 = jnp.full(B, n, dtype=jnp.int32)
+    cols = jnp.flip(pats, axis=1).T
+
+    def step(carry, col):
+        first, last = carry
+        active = col >= 0
+        c = col.astype(jnp.int32)
+        cd = R.map_char(arrays, c)
+        if not R.is_remapped(arrays):
+            cd = jnp.where((c >= 0) & (c < R.ALPHA_SIZE), c, -1)
+        o1, o2 = R.occ2_shared(arrays, cd, first, last,
+                               compact_cap=compact_cap)
+        valid = cd >= 0
+        base = arrays.C[jnp.where(valid, cd, 0)]
+        z = jnp.zeros_like(first)
+        nf = jnp.where(valid, base + o1, z)
+        nl = jnp.where(valid, base + o2, z)
+        first = jnp.where(active, nf, first)
+        last = jnp.where(active, nl, last)
+        return (first, last), None
+
+    (first, last), _ = jax.lax.scan(step, (first0, last0), cols)
+    return first, last
+
+
 def backward_search_steps(arrays: FMArrays, n: int, pats: jax.Array,
                           row0: int = 0):
     """Like backward_search but also returns, per query, the last non-empty
@@ -223,6 +260,85 @@ def locate_rows_phased(arrays: FMArrays, mark_period: int, rows: jax.Array,
             stepcnt = stepcnt.at[sel].set(c2)
         walked += steps_now
     return _locate_epilogue(arrays.mark_vals, granks, stepv, done)
+
+
+@functools.partial(jax.jit, static_argnames=("mark_period",))
+def locate_rows_pyramid(arrays: FMArrays, mark_period: int,
+                        rows: jax.Array):
+    """locate_rows with DEVICE-side capacity-halving between walk phases.
+
+    The lockstep walk executes every lane for mark_period+1 steps though
+    the mean hit depth is ~half that; host-sync'd compaction measured
+    slower (PERF.md round 2).  This variant compacts ENTIRELY on device
+    (one byte-key sort per phase boundary, no scalar pulls): phase 1 walks
+    all B lanes past the half-life, survivors compact into a B/2 then B/4
+    sub-batch, and a lax.cond cleanup phase (full width, executed only
+    when lanes overflowed a capacity or remain unfinished) guarantees
+    completion.  Executed lane-steps drop ~1.4x; everything fits ONE jit.
+    """
+    B = rows.shape[0]
+    total = mark_period + 1
+
+    def phase(rows_w, granks, stepv, stepcnt, done, steps):
+        def body(carry, _):
+            rows_w, granks, stepv, stepcnt, done = carry
+            nxt, bit, grank = R.lf_grank_step(arrays, rows_w)
+            is_m = bit & (~done)
+            granks = jnp.where(is_m, grank, granks)
+            stepv = jnp.where(is_m, stepcnt, stepv)
+            done = done | is_m
+            rows_w = jnp.where(done, rows_w, nxt)
+            stepcnt = jnp.where(done, stepcnt, stepcnt + 1)
+            return (rows_w, granks, stepv, stepcnt, done), None
+
+        (rows_w, granks, stepv, stepcnt, done), _ = jax.lax.scan(
+            body, (rows_w, granks, stepv, stepcnt, done), None,
+            length=steps)
+        return rows_w, granks, stepv, stepcnt, done
+
+    granks = jnp.zeros(B, dtype=jnp.int32)
+    stepv = jnp.full(B, -1, dtype=jnp.int32)
+    stepcnt = jnp.zeros(B, dtype=jnp.int32)
+    done = jnp.zeros(B, dtype=bool)
+
+    p1 = max((total * 11) // 20, 1)          # past the half-life
+    rows_w, granks, stepv, stepcnt, done = phase(
+        rows, granks, stepv, stepcnt, done, p1)
+    walked = p1
+    rem = total - walked
+    for denom in (2, 4):
+        cap = B // denom
+        if cap < 1024 or rem <= 0:
+            break
+        steps_now = max(rem // 2, 1) if denom == 2 else rem
+        idx = jnp.arange(B, dtype=jnp.int32)
+        _, perm = jax.lax.sort((done.astype(jnp.uint8), idx), num_keys=1)
+        sel = perm[:cap]
+        r2, g2, s2, c2, d2 = phase(
+            rows_w[sel], granks[sel], stepv[sel], stepcnt[sel], done[sel],
+            steps_now)
+        rows_w = rows_w.at[sel].set(r2)
+        granks = granks.at[sel].set(g2)
+        stepv = stepv.at[sel].set(s2)
+        stepcnt = stepcnt.at[sel].set(c2)
+        done = done.at[sel].set(d2)
+        walked += steps_now
+        rem = total - walked
+
+    if rem > 0:
+        # small batches (compaction skipped): finish at full width
+        rows_w, granks, stepv, stepcnt, done = phase(
+            rows_w, granks, stepv, stepcnt, done, rem)
+
+    def cleanup(st):
+        rows_w, granks, stepv, stepcnt, done = st
+        return phase(rows_w, granks, stepv, stepcnt, done, total)
+
+    st = (rows_w, granks, stepv, stepcnt, done)
+    st = jax.lax.cond(jnp.any(~done), cleanup, lambda s: s, st)
+    _, granks, stepv, _, done = st
+    offs = arrays.mark_vals[granks] + stepv
+    return jnp.where(done, offs, -1)
 
 
 def extract_backward(arrays: FMArrays, rows: jax.Array, num_steps: int):

@@ -623,6 +623,71 @@ def _rep_slice(x, M, mesh):
     return jax.device_put(x[:M], NamedSharding(mesh, P()))
 
 
+# --- checkpoint helpers (single- AND multi-process) -----------------------
+# Each process saves only the shards it can address; resume requires every
+# process's file on a SHARED checkpoint_dir (the usual multi-host setup)
+# with a matching (n_pad, process_count) layout — the mesh analog of the
+# reference's per-depth bin files (dcx.hh:846-861).
+
+
+def _ckpt_file(checkpoint_dir: str, n_pad: int, pidx: int, nproc: int):
+    return os.path.join(checkpoint_dir,
+                        f"dist_rank_{n_pad}.p{pidx}of{nproc}.npz")
+
+
+def _ckpt_save(checkpoint_dir: str, n_pad: int, stage: str, **arrs):
+    """Save this process's addressable shard span of each P(axis) array."""
+    pidx, nproc = jax.process_index(), jax.process_count()
+    out = {"stage": stage, "nproc": nproc}
+    for name, arr in arrs.items():
+        if isinstance(arr, (int, np.integer)):
+            out[name] = arr
+            continue
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        out[name] = np.concatenate([np.asarray(s.data) for s in shards])
+        out[name + "__start"] = shards[0].index[0].start or 0
+    np.savez(_ckpt_file(checkpoint_dir, n_pad, pidx, nproc), **out)
+
+
+def _ckpt_load(checkpoint_dir: str, n_pad: int, stage: str, names, mesh,
+               axis: str):
+    """Load a checkpoint saved by _ckpt_save, or None.  Every process's
+    file must exist (shared dir) so all processes take the same branch."""
+    pidx, nproc = jax.process_index(), jax.process_count()
+    paths = [_ckpt_file(checkpoint_dir, n_pad, i, nproc)
+             for i in range(nproc)]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    with np.load(paths[pidx]) as z:
+        if str(z["stage"]) != stage or int(z["nproc"]) != nproc:
+            return None
+        data = {k: z[k] for k in z.files}
+    sh = NamedSharding(mesh, P(axis))
+    out = {}
+    for name in names:
+        local = data[name]
+        start = int(data[name + "__start"])
+
+        def cb(idx, local=local, start=start):
+            return local[idx[0].start - start: idx[0].stop - start]
+
+        out[name] = jax.make_array_from_callback(
+            (n_pad,), sh, cb)
+    for k in data:
+        if "__start" not in k and k not in ("stage", "nproc") \
+                and k not in names:
+            out[k] = data[k]
+    return out
+
+
+def _ckpt_clear(checkpoint_dir: str, n_pad: int):
+    p = _ckpt_file(checkpoint_dir, n_pad, jax.process_index(),
+                   jax.process_count())
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def dist_suffix_array(
     text: jax.Array,
     mesh: Mesh,
@@ -642,8 +707,10 @@ def dist_suffix_array(
     alpha: optional host array of the (nonzero) symbols present — skips
     the device alphabet histogram.
     checkpoint_dir: materialize the post-seed-sort state (and per-round
-    rank state on the doubling fallback) and resume interrupted builds
-    (single-process meshes).
+    rank state on the doubling fallback) and resume interrupted builds.
+    Multi-process meshes checkpoint too: each process saves its own shard
+    span, and resume requires every process's file on a SHARED dir with a
+    matching process count (_ckpt_save/_ckpt_load).
     Returns (sa, bwt, a_row, overflow) sharded arrays — a_row carries each
     row's mark bit and SEOF doc tag (0 when doc_starts is omitted); check
     overflow == 0 on host and retry with a larger cap_factor if not.
@@ -697,31 +764,28 @@ def dist_suffix_array(
              "ext_rounds": 0, "tail_rounds": 0, "dbl_rounds": 0,
              "span": span, "m_act": 0}
 
-    ckpt_path = None
-    if checkpoint_dir is not None and jax.process_count() == 1:
+    use_ckpt = checkpoint_dir is not None
+    if use_ckpt:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        ckpt_path = os.path.join(checkpoint_dir, f"dist_rank_{n_pad}.npz")
 
     row_sh = NamedSharding(mesh, P(axis))
     sa = None
     overflow_acc = 0
-    if ckpt_path is not None and os.path.exists(ckpt_path):
-        with np.load(ckpt_path) as z:
-            if str(z["stage"]) == "seed":
-                sa = jax.device_put(z["sa"], row_sh)
-                pull = jax.device_put(z["pull"], row_sh)
-                st_np = z["st"]
-                st = jax.device_put(st_np, row_sh)
-                nxt = np.concatenate([st_np[1:], [True]])
-                m_act = int(np.sum(~(st_np & nxt)))
+    if use_ckpt:
+        loaded = _ckpt_load(checkpoint_dir, n_pad, "seed",
+                            ("sa", "pull", "st"), mesh, axis)
+        if loaded is not None:
+            sa, pull, st = loaded["sa"], loaded["pull"], loaded["st"]
+            m_act = int(loaded["m_act"])
+            stats["resumed"] = True
     if sa is None:
         sa, pull, st, m_act_dev, of = _jit_seed_sort(
             mesh, axis, nkeys, n_pad, cap)(*keys, payload, key)
         overflow_acc = int(of)
         m_act = int(m_act_dev)
-        if ckpt_path is not None and overflow_acc <= 0:
-            np.savez(ckpt_path, stage="seed", sa=np.asarray(sa),
-                     pull=np.asarray(pull), st=np.asarray(st))
+        if use_ckpt and overflow_acc <= 0:
+            _ckpt_save(checkpoint_dir, n_pad, "seed",
+                       sa=sa, pull=pull, st=st, m_act=m_act)
     stats["m_act"] = m_act
 
     if overflow_acc <= 0 and m_act > 0:
@@ -776,12 +840,13 @@ def dist_suffix_array(
             overflow_acc = max(overflow_acc, int(of))
             k = span
             nuniq = 0
-            if ckpt_path is not None and os.path.exists(ckpt_path):
-                with np.load(ckpt_path) as z:
-                    if str(z["stage"]) == "dbl":
-                        rank = jax.device_put(z["rank"], row_sh)
-                        k = int(z["k"])
-                        nuniq = int(z["nuniq"])
+            if use_ckpt:
+                loaded = _ckpt_load(checkpoint_dir, n_pad, "dbl",
+                                    ("rank",), mesh, axis)
+                if loaded is not None:
+                    rank = loaded["rank"]
+                    k = int(loaded["k"])
+                    nuniq = int(loaded["nuniq"])
             while nuniq < n_pad and k < 2 * n_pad and overflow_acc <= 0:
                 rank, nuniq_dev, of = _jit_round(mesh, axis, n_pad, cap)(
                     rank, jnp.int32(k), jax.random.fold_in(key, k))
@@ -790,21 +855,21 @@ def dist_suffix_array(
                 k *= 2
                 stats["dbl_rounds"] += 1
                 stats["full_exchanges"] += 3
-                if ckpt_path is not None and overflow_acc <= 0:
-                    np.savez(ckpt_path, stage="dbl", rank=np.asarray(rank),
-                             k=k, nuniq=nuniq)
+                if use_ckpt and overflow_acc <= 0:
+                    _ckpt_save(checkpoint_dir, n_pad, "dbl",
+                               rank=rank, k=k, nuniq=nuniq)
             sa, bwt, a_row, of = _jit_finalize(
                 mesh, axis, n, n_pad, cap, mark_period, ndocs)(
                 rank, text, doc_starts, key)
             stats["full_sorts"] += 1
             stats["full_exchanges"] += 3
-            if ckpt_path is not None and os.path.exists(ckpt_path):
-                os.remove(ckpt_path)
+            if use_ckpt:
+                _ckpt_clear(checkpoint_dir, n_pad)
             LAST_BUILD_STATS = stats
             return sa, bwt, a_row, jnp.maximum(of, jnp.int32(overflow_acc))
 
-    if ckpt_path is not None and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+    if use_ckpt:
+        _ckpt_clear(checkpoint_dir, n_pad)
     bwt = pull & 511            # INVALID_ALPHA == 511 survives the mask
     a_row = pull >> 9
     LAST_BUILD_STATS = stats
@@ -949,6 +1014,8 @@ def build_index_sharded(
     max_retries: int = 3,
     checkpoint_dir: Optional[str] = None,
     tier: str = "full",
+    mark_cap_local0: Optional[int] = None,
+    doc_chunks: bool = False,
 ):
     """Distributed end-to-end build, fully on device: SA/BWT via the
     sharded sample sort, then per-shard packaging (_package_shard) — no
@@ -1029,6 +1096,12 @@ def build_index_sharded(
     cap_total = mark_cap(n_pad, ndocs, mark_period, seg)
     cap_local = min(mark_cap(m, min(ndocs, m), mark_period, seg) * 2,
                     cap_total)
+    if mark_cap_local0 is not None:
+        # testing/tuning knob: start the per-shard mark-value capacity
+        # here (identical-doc corpora cluster marks into one shard and
+        # exercise the overflow->grow retry below)
+        cap_local = min(max(128, mark_cap_local0), cap_total)
+    mark_cap_retries = 0
     while True:
         fn = functools.partial(
             _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
@@ -1049,6 +1122,8 @@ def build_index_sharded(
         if cap_local >= cap_total:
             raise RuntimeError("per-shard mark capacity overflow")
         cap_local = min(cap_local * 4, cap_total)
+        mark_cap_retries += 1
+    LAST_BUILD_STATS["mark_cap_retries"] = mark_cap_retries
 
     rep = replicated(mesh)
     if tier == "full":
@@ -1077,10 +1152,37 @@ def build_index_sharded(
         alpha_used=0 if tier == "full" else K,
         n_rows=n_pad, row0=n_pad - n,
     )
-    return FMIndex(
+    index = FMIndex(
         arrays=arrays,
         meta=meta,
         doc_starts_np=prepared.doc_starts.astype(np.int64),
         infos=list(prepared.infos),
         header_lens_np=prepared.header_lens,
     )
+    if doc_chunks and jax.process_count() == 1:
+        # per-shard chunk doc-lists (block_format.txt:105-151): each shard
+        # computes its own segments' sorted unique doc ids; the host only
+        # pulls the per-segment counts + the compacted list
+        from ..ops.build_ops import _doc_lists_stage, _flatten_ragged
+
+        nseg_local = (n_pad // seg) // D
+
+        def _dl_body(sa_block, ds):
+            return _doc_lists_stage(sa_block, ds, n=n,
+                                    n_seg=nseg_local, seg=seg)
+
+        vals, counts = jax.jit(jax.shard_map(
+            _dl_body, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=(P(axis, None), P(axis)),
+        ))(sa, doc_starts_dev)
+        counts_np = np.asarray(counts).astype(np.int64)
+        offs = np.zeros(n_pad // seg + 1, np.int64)
+        np.cumsum(counts_np, out=offs[1:])
+        total = int(offs[-1])
+        total_pad = max(-(-total // 1024) * 1024, 1024)
+        flat = jax.jit(functools.partial(
+            _flatten_ragged, total_pad=total_pad, W=seg))(
+            vals, counts, jnp.asarray(offs[:-1].astype(np.int32)))
+        index.chunk_doc_offsets_np = offs
+        index.chunk_docs_np = np.asarray(flat)[:total]
+    return index

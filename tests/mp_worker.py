@@ -47,6 +47,48 @@ def main():
     if pid == 0:
         print("MP_COUNTS:" + ",".join(str(int(c)) for c in counts), flush=True)
 
+    # --- multi-process checkpoint/resume (VERDICT r2 weak #8): each
+    # process persists its own shard span; a fresh dist_suffix_array on a
+    # shared dir must resume from the seed-sort checkpoint and produce an
+    # identical SA ---
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from femto_tpu.parallel import dist_build as db
+
+    ck = os.path.join(tempfile.gettempdir(), "ftpu_mp_ck_%d" % port)
+    # a bigger low-tie corpus so the build takes the wide path (the seed
+    # checkpoint is the resume point; the doubling fallback overwrites it
+    # with per-round "dbl" stages)
+    rng2 = np.random.default_rng(42)
+    rp = ft.prepare_documents(
+        [bytes(rng2.integers(97, 123, size=1500).astype(np.uint8))
+         for _ in range(3)])
+    text_pad, n_pad = db.pad_text_for_mesh(rp.text, nproc, 32)
+    tdev = ftd.put_global(text_pad,
+                          NamedSharding(mesh, P("bins")))
+    clear_orig = db._ckpt_clear
+    db._ckpt_clear = lambda *a, **k: None   # leave the seed file behind
+    try:
+        sa1, _, _, of1 = db.dist_suffix_array(
+            tdev, mesh, n=rp.n, checkpoint_dir=ck)
+        assert int(jax.device_get(of1)) <= 0
+    finally:
+        db._ckpt_clear = clear_orig
+    sa2, _, _, of2 = db.dist_suffix_array(
+        tdev, mesh, n=rp.n, checkpoint_dir=ck)
+    assert int(jax.device_get(of2)) <= 0
+    assert db.LAST_BUILD_STATS.get("resumed"), db.LAST_BUILD_STATS
+    same = bool(jax.device_get(
+        jax.jit(lambda a, b: jnp.all(a == b))(sa1, sa2)))
+    # own shard file was cleaned up by the completed resumed run
+    own = db._ckpt_file(ck, n_pad, pid, nproc)
+    if pid == 0:
+        print("MP_RESUME:" + ("ok" if same and not os.path.exists(own)
+                              else "bad"), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -239,3 +239,52 @@ def test_locate_phased_parity(rng):
         got = np.asarray(locate_rows_phased(index.arrays, 20, rows,
                                             min_compact=1024))
         np.testing.assert_array_equal(ref, got)
+
+
+def test_backward_search_shared_parity(rng):
+    """The shared-segment pair rank (occ2_shared + device compaction) must
+    return identical ranges to the baseline backward search on every tier,
+    at compaction capacities that exercise both the compacted and the
+    full-width fallback paths."""
+    import jax.numpy as jnp
+
+    from femto_tpu.alphabet import pattern_to_alpha
+    from femto_tpu.ops.search_ops import backward_search, \
+        backward_search_shared
+    from femto_tpu.search import pack_patterns
+
+    docs = [bytes(rng.integers(97, 105, size=3000).astype(np.uint8))
+            for _ in range(4)] + [b"needle in the haystack " * 10]
+    prepared = ft.prepare_documents(docs)
+    pats = [b"needle", b"ab", b"a", b"zzz", docs[0][5:13], b"haystack ne"]
+    packed, B = pack_patterns([pattern_to_alpha(p) for p in pats])
+    packed = jnp.asarray(packed)
+    for tier in ("full", "packed", "vseg"):
+        ix = ft.build_index(prepared, seg=64, mark_period=8, tier=tier)
+        f0, l0 = backward_search(ix.arrays, ix.meta.n_rows, packed,
+                                 row0=ix.meta.row0)
+        for cap in (0, 2, len(pats) + 2):
+            f1, l1 = backward_search_shared(
+                ix.arrays, ix.meta.n_rows, packed, row0=ix.meta.row0,
+                compact_cap=cap)
+            np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_locate_pyramid_parity(rng):
+    """The device-compaction pyramid walk must locate identically to the
+    lockstep walk (big batch exercises the sub-batch phases + cleanup)."""
+    import jax.numpy as jnp
+
+    from femto_tpu.ops.search_ops import locate_rows, locate_rows_pyramid
+
+    docs = [bytes(rng.integers(97, 101, size=4000).astype(np.uint8))
+            for _ in range(3)]
+    prepared = ft.prepare_documents(docs)
+    ix = ft.build_index(prepared, seg=64, mark_period=20)
+    B = 8192
+    rows = jnp.asarray(
+        rng.integers(0, ix.meta.n, size=B).astype(np.int32))
+    base = np.asarray(locate_rows(ix.arrays, 20, rows))
+    pyr = np.asarray(locate_rows_pyramid(ix.arrays, 20, rows))
+    np.testing.assert_array_equal(base, pyr)

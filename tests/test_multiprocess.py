@@ -49,3 +49,4 @@ def test_two_process_distributed_build():
         assert rc == 0, err[-2000:]
     combined = "".join(o for _, o, _ in outs)
     assert "MP_COUNTS:3,10,2,0" in combined, combined
+    assert "MP_RESUME:ok" in combined, combined
