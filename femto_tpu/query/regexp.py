@@ -273,14 +273,25 @@ def run_regexp(
 
 
 def dedupe_matches(matches: List[RegexpMatch]) -> List[RegexpMatch]:
-    """Sort and drop duplicate ranges, keeping min cost (the reference's
-    sort + subsumption prune, server.c:1528-1563)."""
+    """Drop duplicate ranges (keeping min cost) AND prune ranges entirely
+    subsumed by a containing result — the reference's sort + subsumption
+    prune (server.c:1476-1563): regexp_result_cmp orders (first asc,
+    last DESC) so the widest range leads and nested ranges (longer
+    strings inside a shorter string's row range, e.g. 'ab' within 'a'
+    for 'a|ab') are removed for an accurate result count."""
     best: Dict[Tuple[int, int], RegexpMatch] = {}
     for m in matches:
         key = (m.first, m.last)
         if key not in best or m.cost < best[key].cost:
             best[key] = m
-    return sorted(best.values(), key=lambda m: (m.first, m.last, m.cost))
+    out: List[RegexpMatch] = []
+    cf = cl = None
+    for m in sorted(best.values(), key=lambda m: (m.first, -m.last)):
+        if cf is not None and m.first >= cf and m.last <= cl:
+            continue
+        out.append(m)
+        cf, cl = m.first, m.last
+    return out
 
 
 def match_rows(matches: List[RegexpMatch]) -> List[Tuple[int, int]]:

@@ -230,3 +230,27 @@ def test_then_within_vectorized_parity():
                     keep.append((doc, off))
             want = sorted(keep)
             assert sorted(zip(got.docs, got.offsets)) == want
+
+
+def test_subsumption_prune(corpus):
+    """Nested result ranges (a longer string's rows inside a shorter
+    string's range) are pruned like the reference's regexp_result_list_sort
+    (server.c:1476-1563): 'a|ab' reports only the containing 'a' range."""
+    from femto_tpu.query.regexp import RegexpMatch, dedupe_matches
+
+    docs, index = corpus
+    ms = find_strings(index, "ban(a|an)")
+    ranges = [(m.first, m.last) for m in ms]
+    for i, (f1, l1) in enumerate(ranges):
+        for j, (f2, l2) in enumerate(ranges):
+            if i != j:
+                assert not (f2 >= f1 and l2 <= l1), (ranges, i, j)
+    # direct unit: widest kept, nested dropped, duplicate keeps min cost
+    out = dedupe_matches([
+        RegexpMatch(10, 20, 1, b"a"),
+        RegexpMatch(12, 18, 0, b"ab"),
+        RegexpMatch(10, 20, 0, b"a"),
+        RegexpMatch(25, 30, 2, b"c"),
+    ])
+    assert [(m.first, m.last, m.cost) for m in out] == \
+        [(10, 20, 0), (25, 30, 2)]
