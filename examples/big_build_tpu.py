@@ -135,16 +135,24 @@ def main():
         doc_starts_pad = np.full(docs_per_chunk + 1, n_c, np.int32)
         doc_starts_pad[: ndc + 1] = doc_starts_np
         doc_starts_dev = jnp.asarray(doc_starts_pad)
+        profile = os.environ.get("BIG_PROFILE", "") != ""
         payload = build_sa_payload(
             text, doc_starts_dev, n=n_uniform, mark_period=mark_period,
             ndocs=docs_per_chunk)
         sa, pull = ft.suffix_array(text, payload=payload, alpha=alpha_np)
+        if profile:
+            _ = int(fingerprint((sa, pull)))
+            t_sa = time.perf_counter() - t0
         arrays, n_marks, alpha_used = build_fm_arrays_device(
             text, sa, doc_starts_dev, n=n_uniform, seg=seg,
             mark_period=mark_period, ndocs=docs_per_chunk, tier=tier,
             pull=pull)
         _ = int(fingerprint(arrays))
         dt_build = time.perf_counter() - t0
+        if profile:
+            log(f"  profile: sa {t_sa:.2f}s "
+                f"({n_uniform / 2**20 / t_sa:.1f} MiB/s), "
+                f"packaging {dt_build - t_sa:.2f}s")
         t_build_total += dt_build
 
         # free the build intermediates before querying
