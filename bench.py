@@ -83,7 +83,10 @@ def main():
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
     from femto_tpu.fmindex import FMIndex, FMMeta
     from femto_tpu.ops.build_ops import build_fm_arrays_device, build_sa_payload
-    from femto_tpu.ops.search_ops import backward_search, locate_rows
+    from femto_tpu.ops.search_ops import (
+        backward_search, backward_search_shared, locate_rows,
+        locate_rows_pyramid,
+    )
 
     mb = float(os.environ.get("BENCH_MB", "16"))
     B = int(os.environ.get("BENCH_BATCH", "32768"))
@@ -91,7 +94,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     seg = int(os.environ.get("BENCH_SEG", "256"))
     mark_period = int(os.environ.get("BENCH_MARK", "20"))
-    tier = os.environ.get("BENCH_TIER", "full")
+    tier = os.environ.get("BENCH_TIER", "packed")
     if os.environ.get("BENCH_COMPACT", "0") == "1":
         tier = "compact"
 
@@ -198,10 +201,18 @@ def main():
     packed_dev = slice_patterns(text_dev, jnp.asarray(starts))
     _ = int(packed_dev[0, 0])
 
+    # BENCH_SHARED=1: shared-segment pair rank with device lane compaction
+    # (ops/search_ops.backward_search_shared; see PERF.md round 3)
+    if os.environ.get("BENCH_SHARED", "0") == "1":
+        _bs = lambda arrays, n, pats: backward_search_shared(  # noqa: E731
+            arrays, n, pats, compact_cap=B // 2)
+    else:
+        _bs = backward_search
+
     @jax.jit
     def count_step(arrays, pats, acc):
         pats = pats + jnp.minimum(acc, 0).astype(jnp.int32)
-        first, last = backward_search(arrays, n, pats)
+        first, last = _bs(arrays, n, pats)
         return acc + jnp.sum(last - first), first, last
 
     acc = jnp.int32(0)
@@ -226,10 +237,13 @@ def main():
     LB = int(os.environ.get("BENCH_LOCATE_BATCH", "65536"))
     rows = jnp.asarray(rng.integers(0, n, size=LB).astype(np.int32))
 
+    _loc = (locate_rows_pyramid
+            if os.environ.get("BENCH_PYRAMID", "1") == "1" else locate_rows)
+
     @jax.jit
     def loc_step(arrays, rows, acc):
         rows = (rows + jnp.minimum(acc, 0).astype(jnp.int32)) % n
-        offs = locate_rows(arrays, mark_period, rows)
+        offs = _loc(arrays, mark_period, rows)
         return acc + jnp.sum(offs), offs
 
     acc = jnp.int32(0)

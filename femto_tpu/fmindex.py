@@ -126,18 +126,19 @@ class FMArrays(NamedTuple):
         symbols) with the BWT bit-packed into uint32 words (32//bits codes
         per word, bits = code width for K) on top of the compact
         checkpoints — ~2 B/char on English text, ~0.8 on DNA;
-      * vseg:    PER-SEGMENT dense remap at PER-SEGMENT bit width — the
-        behavioral replacement for the reference's Huffman wavelet tree +
-        RLE bseq compression (wtree.c:359-770, block_format.txt:161-188,
-        0.47 B/input-byte on English, ChangeLog 1.1.0): each segment
-        stores only ceil(log2 K_s) bits per symbol for its own K_s
-        distinct symbols (BWT clustering makes K_s small; run-dominated
-        segments approach 0-1 bits), words live in one flat ragged stream
-        (`bwt` uint32[total_words] + seg_woff/seg_w/seg_nsym/seg_syms),
-        and occ checkpoints are int8 deltas from a linear interpolation
-        between int32 L1 group rows.  Dispatch: bwt.ndim == 1.  The
-        static gather window WMAX is encoded as
-        seg_woff.shape[0] - n_seg (shapes must carry statics).
+      * vseg:    PER-SEGMENT dense remap at a size-optimal shared width —
+        the behavioral replacement for the reference's Huffman wavelet
+        tree + RLE bseq compression (wtree.c:359-770,
+        block_format.txt:161-188, 0.47 B/input-byte on English,
+        ChangeLog 1.1.0): each segment stores codes LOCAL to its own
+        sorted symbol list (seg_syms/seg_nsym) in `bwt` =
+        uint32[n_seg, W] rows at the width that minimizes total bytes
+        (main rows + overflow side rows); segments whose alphabet
+        doesn't fit move to the seg_ovf side table (8-9 bit global
+        codes, seg_woff holds their 1-based side row).  Checkpoints are
+        int8 deltas from a linear interpolation between int32 L1 group
+        rows.  Row-gather serving layout (per-element gathers measured
+        ~175x slower, PERF.md round 3).  Dispatch: seg_nsym is not None.
     """
 
     bwt: jax.Array        # uint16[n_seg, SEG] symbols | uint32[n_seg, W]
@@ -156,13 +157,15 @@ class FMArrays(NamedTuple):
     alpha_rev: jax.Array  # int32[K]: dense code -> symbol (identity when
     #                       the index is not remapped)
     # vseg tier only (None elsewhere):
-    seg_w: Optional[jax.Array] = None     # uint8[n_seg] code width (0..8)
+    seg_ovf: Optional[jax.Array] = None   # uint32[n_ovf+1, W_side]
+    #                                       overflow segments at 8-9 bits,
+    #                                       GLOBAL codes; row 0 dummy
     seg_nsym: Optional[jax.Array] = None  # uint8[n_seg] K_s (255 =
-    #                                       identity segment: local == dense)
-    seg_woff: Optional[jax.Array] = None  # int32[n_seg + WMAX] word offset
-    #                                       (tail rows pad; see class doc)
-    seg_syms: Optional[jax.Array] = None  # uint8[n_seg, SMAX] sorted dense
-    #                                       codes present in the segment
+    #                                       identity/overflow sentinel)
+    seg_woff: Optional[jax.Array] = None  # int32[n_seg]: 1-based side row
+    #                                       in seg_ovf, 0 = main
+    seg_syms: Optional[jax.Array] = None  # uint8|uint16[n_seg, SMAX]
+    #                                       sorted dense codes present
 
 
 @dataclasses.dataclass(frozen=True)

@@ -229,30 +229,13 @@ def _ckpt_interp_stage(per_seg):
     return C, delta, l1, jnp.max(jnp.abs(delta))
 
 
-def _vseg_widths(nsym):
-    """Canonical per-segment code width for K_s distinct codes: 0 for
-    constant segments, else the smallest w with 2^w >= K_s, canonicalized
-    to the bits actually available per 32-bit-word slot (32 // (32 // w),
-    matching _pack_widths)."""
-    w = jnp.zeros_like(nsym)
-    for b in range(8):
-        w = w + (nsym > (1 << b)).astype(nsym.dtype)
-    wsafe = jnp.maximum(w, 1)
-    return jnp.where(w > 0, 32 // (32 // wsafe), 0)
+@functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
+def _vseg_stats_stage(codes2d, *, seg, SMAX):
+    """Per-segment sorted distinct codes (device, chunked).
 
-
-@functools.partial(jax.jit, static_argnames=("seg", "SMAX", "Wcap",
-                                             "ident_w"))
-def _vseg_pack_stage(codes2d, *, seg, SMAX, Wcap, ident_w):
-    """Per-segment stats + fixed-capacity packing (device, chunked).
-
-    codes2d: int32[n_seg, seg] dense global codes, tail pad = a value
-    > 2^20 (sorts last, matches nothing).  ident_w = code width of
-    identity segments (K_s > SMAX): 8 when the dense alphabet fits a
-    byte, 9 for byte-complete corpora (K up to 512).  Returns (seg_syms
-    int32, nsym int32, w int32, words_s int32, words_cap
-    uint32[n_seg, Wcap]) — the host then lays words_cap out as one
-    ragged flat stream (the only host step, an O(total_words) memcpy)."""
+    codes2d: int32[n_seg, seg] dense global codes, tail pad > 2^20.
+    Returns (syms int32[n_seg, SMAX] (pad = 2^20), nsym int32[n_seg];
+    segments with > SMAX distinct report the identity sentinel 255)."""
     PAD = 1 << 20
 
     def chunk(codes):                                  # [CH, seg]
@@ -268,27 +251,8 @@ def _vseg_pack_stage(codes2d, *, seg, SMAX, Wcap, ident_w):
         tgt = jnp.where(uniq & (ranks < SMAX), ranks, SMAX)
         syms = jnp.full((CH, SMAX + 1), PAD, jnp.int32).at[
             rowi, tgt].set(srt, mode="drop")[:, :SMAX]
-        ident = nsym > SMAX
-        nsym_out = jnp.where(ident, 255, nsym)
-        w = jnp.where(ident, ident_w, _vseg_widths(nsym))
-        # local codes: searchsorted in the (sorted) per-segment symbol list
-        lc = jnp.sum(
-            (syms[:, None, :] < codes[:, :, None]).astype(jnp.int32), axis=2
-        )
-        lc = jnp.where(ident[:, None], codes, lc)
-        lc = jnp.where(codes < PAD, lc, 0)             # pad rows: harmless
-        # pack at runtime width w (scatter-add into the word lanes)
-        wsafe = jnp.maximum(w, 1)
-        per_word = (32 // wsafe)[:, None]
-        pos = jnp.arange(seg, dtype=jnp.int32)[None, :]
-        widx = jnp.where(w[:, None] > 0, pos // per_word, Wcap)
-        shift = ((pos % per_word) * w[:, None]).astype(jnp.uint32)
-        contrib = (lc.astype(jnp.uint32) << shift)
-        words = jnp.zeros((CH, Wcap + 1), jnp.uint32).at[
-            rowi, widx].add(contrib, mode="drop")[:, :Wcap]
-        words_s = jnp.where(
-            w > 0, (seg + (32 // wsafe) - 1) // (32 // wsafe), 0)
-        return (syms, nsym_out, w, words_s, words)
+        nsym_out = jnp.where(nsym > SMAX, 255, nsym)
+        return syms, nsym_out
 
     CH = 512
     n_seg = codes2d.shape[0]
@@ -297,24 +261,59 @@ def _vseg_pack_stage(codes2d, *, seg, SMAX, Wcap, ident_w):
     c3 = jnp.concatenate(
         [codes2d, jnp.full((pad_rows, seg), PAD, jnp.int32)]
     ).reshape(nch, CH, seg)
-    syms, nsym, w, words_s, words = jax.lax.map(chunk, c3)
-    return (syms.reshape(-1, SMAX)[:n_seg],
-            nsym.reshape(-1)[:n_seg],
-            w.reshape(-1)[:n_seg],
-            words_s.reshape(-1)[:n_seg],
-            words.reshape(-1, Wcap)[:n_seg])
+    syms, nsym = jax.lax.map(chunk, c3)
+    return (syms.reshape(-1, SMAX)[:n_seg], nsym.reshape(-1)[:n_seg])
 
 
-@functools.partial(jax.jit, static_argnames=("total_pad", "Wcap"))
-def _vseg_flatten_stage(words_cap, words_s, woff, *, total_pad, Wcap):
-    """Compact the fixed-capacity word rows into one flat ragged stream
-    (device scatter; woff comes from the host cumsum of words_s)."""
-    n_seg = words_cap.shape[0]
-    j = jnp.arange(Wcap, dtype=jnp.int32)[None, :]
-    valid = j < words_s[:, None]
-    idx = jnp.where(valid, woff[:, None] + j, total_pad)
-    return jnp.zeros((total_pad + 1,), jnp.uint32).at[
-        idx.reshape(-1)].set(words_cap.reshape(-1), mode="drop")[:total_pad]
+@functools.partial(jax.jit, static_argnames=("seg", "w", "SMAX", "side"))
+def _vseg_pack_uniform(codes2d, syms, nsym, *, seg, w, SMAX, side):
+    """Pack [n_seg, seg] codes at ONE static width w -> uint32[n_seg, W]
+    (W = ceil(seg / (32 // w))).
+
+    side=False: per-segment LOCAL codes (searchsorted in the segment's
+    sorted symbol list); segments that don't fit width w (or are
+    identity) pack as zeros — their data lives in the side table.
+    side=True: GLOBAL dense codes (identity layout for the overflow
+    rows; the caller gathers the rows it needs)."""
+    PAD = 1 << 20
+    per_word = 32 // w
+    W = -(-seg // per_word)
+
+    def chunk(args):
+        codes, sy, ns = args
+        CH = codes.shape[0]
+        if side:
+            lc = jnp.where(codes < PAD, codes, 0)
+        else:
+            lc = jnp.sum(
+                (sy[:, None, :] < codes[:, :, None]).astype(jnp.int32),
+                axis=2)
+            fits = (ns <= (1 << w)) & (ns < 255)
+            lc = jnp.where(fits[:, None] & (codes < PAD), lc, 0)
+        row = W * per_word
+        pad_cols = row - seg
+        if pad_cols:
+            lc = jnp.concatenate(
+                [lc, jnp.zeros((CH, pad_cols), jnp.int32)], axis=1)
+        c3 = lc.reshape(CH, W, per_word).astype(jnp.uint32)
+        shifts = jnp.arange(per_word, dtype=jnp.uint32) * jnp.uint32(w)
+        return jnp.sum(c3 << shifts[None, None, :], axis=2,
+                       dtype=jnp.uint32)
+
+    CH = 512
+    n_seg = codes2d.shape[0]
+    nch = -(-n_seg // CH)
+    pad_rows = nch * CH - n_seg
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), PAD, jnp.int32)]
+    ).reshape(nch, CH, seg)
+    s3 = jnp.concatenate(
+        [syms, jnp.full((pad_rows, SMAX), PAD, jnp.int32)]
+    ).reshape(nch, CH, SMAX)
+    n3 = jnp.concatenate(
+        [nsym, jnp.zeros((pad_rows,), jnp.int32)]).reshape(nch, CH)
+    words = jax.lax.map(chunk, (c3, s3, n3))
+    return words.reshape(-1, words.shape[-1])[:n_seg]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
@@ -326,11 +325,37 @@ def _codes2d_stage(bwt_chars, alpha_map, *, n, n_seg, seg):
     return full.reshape(n_seg, seg)
 
 
+def _vseg_width_for(seg: int, w: int):
+    """(effective width, words per row) for candidate width w: W is what
+    the row shape stores, and the query side re-derives the width as
+    32 // ceil(seg / W) — so the build canonicalizes w UP to that value
+    (same W, more bits per code; build and decode always agree)."""
+    W = -(-seg // (32 // w))
+    per_word = -(-seg // W)
+    return 32 // per_word, W
+
+
 def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
-    """Assemble the vseg tier arrays (device stages + one host ragged
-    layout pass).  Returns (bwt_flat, occ_ckpt, occ_l1, C, seg_w,
-    seg_nsym, seg_woff, seg_syms).  Byte-complete corpora (dense K up to
-    512) store identity segments at 9 bits and uint16 symbol lists."""
+    """Assemble the vseg v2 tier arrays.
+
+    Layout (chosen after the round-3 TPU measurement: the flat ragged
+    stream's per-element gathers ran ~175x slower than row gathers —
+    gather cost is per ROW, so the serving layout must be 2-D):
+
+      * main: uint32[n_seg, W] — every segment's codes at ONE width
+        w_main, chosen as argmin over candidate widths of
+        n_seg*W(w)*4 + overflow(w)*W_side*4 (the segments whose
+        per-segment alphabet doesn't fit w_main move to the side table);
+        codes are LOCAL to the segment's sorted symbol list;
+      * side: uint32[n_ovf + 1, W_side] — overflow/identity segments at
+        8 bits (9 for byte-complete corpora), GLOBAL dense codes, row 0
+        a dummy so unaffected lanes gather row 0;
+      * seg_woff int32[n_seg]: 1-based side row, 0 = main;
+      * seg_nsym / seg_syms: per-segment symbol count + sorted list
+        (identity sentinel 255).
+
+    Returns (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
+    seg_syms)."""
     K = int(used.shape[0])
     alpha_map_np = np.full(ALPHA_SIZE, -1, np.int32)
     alpha_map_np[used] = np.arange(K, dtype=np.int32)
@@ -340,32 +365,47 @@ def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     occ_ckpt = (_to_i8 if int(dmax) <= 127 else _to_i16)(delta)
 
     wide = K > 256
-    ident_w = 9 if wide else 8
+    w_side, Wside = _vseg_width_for(seg, 9 if wide else 8)
     codes2d = _codes2d_stage(bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg)
-    Wcap = -(-seg // (32 // ident_w))
-    syms, nsym, w, words_s, words_cap = _vseg_pack_stage(
-        codes2d, seg=seg, SMAX=VSEG_SMAX, Wcap=Wcap, ident_w=ident_w
-    )
+    syms_i32, nsym_i32 = _vseg_stats_stage(codes2d, seg=seg, SMAX=VSEG_SMAX)
+    nsym_np = np.asarray(nsym_i32)                     # [n_seg] tiny pull
+
+    best = None
+    seen_W = set()
+    for w in (1, 2, 3, 4, 5):
+        w_eff, Wm = _vseg_width_for(seg, w)
+        if Wm in seen_W:
+            continue
+        seen_W.add(Wm)
+        cov = (nsym_np <= (1 << w_eff)) & (nsym_np < 255)
+        bytes_w = n_seg * Wm * 4 + int((~cov).sum()) * Wside * 4
+        if best is None or bytes_w < best[0]:
+            best = (bytes_w, w_eff, cov)
+    _, w_main, cov = best
+    bwt_main = _vseg_pack_uniform(codes2d, syms_i32, nsym_i32, seg=seg,
+                                  w=w_main, SMAX=VSEG_SMAX, side=False)
+
+    ovf_idx = np.nonzero(~cov)[0].astype(np.int32)
+    novf = int(ovf_idx.shape[0])
+    seg_woff_np = np.zeros(n_seg, np.int32)
+    seg_woff_np[ovf_idx] = np.arange(1, novf + 1, dtype=np.int32)
+    if novf:
+        codes_ovf = jnp.take(codes2d, jnp.asarray(ovf_idx), axis=0)
+        dummy_s = jnp.zeros((novf, VSEG_SMAX), jnp.int32)
+        dummy_n = jnp.zeros((novf,), jnp.int32)
+        side_rows = _vseg_pack_uniform(codes_ovf, dummy_s, dummy_n,
+                                       seg=seg, w=w_side, SMAX=VSEG_SMAX,
+                                       side=True)
+        seg_ovf = jnp.concatenate(
+            [jnp.zeros((1, side_rows.shape[1]), jnp.uint32), side_rows])
+    else:
+        seg_ovf = jnp.zeros((1, 1), jnp.uint32)
+
+    # syms pad -> max value of the storage dtype (never < any real code)
+    syms = jnp.minimum(syms_i32, 0xFFFF if wide else 0xFF)
     syms = (_to_u16 if wide else _to_u8)(syms)
-    ws_np = np.asarray(words_s)                        # [n_seg] tiny pull
-    woff_np = np.zeros(n_seg, np.int64)
-    np.cumsum(ws_np[:-1], out=woff_np[1:])
-    total = int(woff_np[-1] + ws_np[-1]) if n_seg else 0
-    # bucket the flat-stream length and the gather window so chunked
-    # builds at a fixed pad_shape reuse ONE compiled program
-    gran = max(1024, (n_seg * Wcap) // 32)
-    total_pad = max(-(-total // gran) * gran, gran)
-    WMAX = max(1, int(ws_np.max()) if n_seg else 1)
-    WMAX = 1 << (WMAX - 1).bit_length()
-    bwt_flat = _vseg_flatten_stage(
-        words_cap, words_s, jnp.asarray(woff_np.astype(np.int32)),
-        total_pad=total_pad, Wcap=Wcap,
-    )
-    woff_pad = np.zeros(n_seg + WMAX, np.int32)
-    woff_pad[:n_seg] = woff_np.astype(np.int32)
-    woff_pad[n_seg:] = max(total_pad - WMAX, 0)        # clamp-safe tail
-    return (bwt_flat, occ_ckpt, l1, C, _to_u8(w), _to_u8(nsym),
-            jnp.asarray(woff_pad), syms)
+    return (bwt_main, occ_ckpt, l1, C, seg_ovf, _to_u8(nsym_i32),
+            jnp.asarray(seg_woff_np), syms)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
@@ -681,12 +721,12 @@ def build_fm_arrays_device(
         alpha_map = jnp.asarray(alpha_map_np)
         alpha_rev = jnp.asarray(used)
         if tier == "vseg":
-            (bwt_store, occ_ckpt, occ_l1, C, seg_w, seg_nsym, seg_woff,
+            (bwt_store, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
              seg_syms) = _build_vseg(
                 bwt_chars, per_seg[:, jnp.asarray(used)], used,
                 n=n, n_seg=n_seg, seg=seg,
             )
-            vseg_extra = dict(seg_w=seg_w, seg_nsym=seg_nsym,
+            vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
                               seg_woff=seg_woff, seg_syms=seg_syms)
         else:
             C, occ_ckpt, occ_l1 = _ckpt_stage(

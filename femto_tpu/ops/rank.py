@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..alphabet import ALPHA_SIZE
 from ..fmindex import FMArrays, L1_GROUP
@@ -42,14 +43,14 @@ def n_segments(arrays: FMArrays) -> int:
     return arrays.occ_ckpt.shape[0]
 
 
-def is_packed(arrays: FMArrays) -> bool:
-    return arrays.bwt.dtype == jnp.uint32 and arrays.bwt.ndim == 2
-
-
 def is_vseg(arrays: FMArrays) -> bool:
-    """Per-segment variable-width tier: the BWT is one flat uint32 word
-    stream (fmindex.FMArrays docstring)."""
-    return arrays.bwt.ndim == 1
+    """Compressed serving tier (fmindex.FMArrays docstring): per-segment
+    symbol lists + size-optimal shared-width rows + overflow side table."""
+    return arrays.seg_nsym is not None
+
+
+def is_packed(arrays: FMArrays) -> bool:
+    return arrays.bwt.dtype == jnp.uint32 and not is_vseg(arrays)
 
 
 def is_remapped(arrays: FMArrays) -> bool:
@@ -103,40 +104,78 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     return vals.reshape(words.shape[0], -1)[:, :seg].astype(jnp.int32)
 
 
-def _gather_segments_vseg(arrays: FMArrays, s: jax.Array) -> jax.Array:
-    """vseg decode: gather each segment's word window from the flat stream
-    and expand to dense GLOBAL codes at the segment's own width.
-
-    The window is the static WMAX = seg_woff.shape[0] - n_seg words (the
-    widest segment in the index); per_word = 32 // w is computed per lane,
-    so one program serves every width.  Local codes map to global dense
-    codes through the segment's sorted symbol list (identity segments —
-    seg_nsym == 255 — store global codes directly)."""
+def _vseg_widths(arrays: FMArrays):
+    """(w_main, w_side) re-derived from row shapes (the build
+    canonicalizes widths so this inversion is exact —
+    build_ops._vseg_width_for)."""
     seg = seg_size(arrays)
-    n_seg = n_segments(arrays)
-    WMAX = arrays.seg_woff.shape[0] - n_seg
-    total = arrays.bwt.shape[0]
-    woff = arrays.seg_woff[s]                                  # [B]
-    idx = jnp.clip(
-        woff[:, None] + jnp.arange(WMAX, dtype=jnp.int32)[None, :],
-        0, total - 1,
-    )
-    words = arrays.bwt[idx]                                    # [B, WMAX]
-    w = arrays.seg_w[s].astype(jnp.int32)                      # [B]
-    wsafe = jnp.maximum(w, 1)
-    per_word = 32 // wsafe
-    pos = jnp.arange(seg, dtype=jnp.int32)[None, :]            # [1, SEG]
-    widx = pos // per_word[:, None]
-    shift = ((pos % per_word[:, None]) * w[:, None]).astype(jnp.uint32)
-    word = jnp.take_along_axis(words, jnp.minimum(widx, WMAX - 1), axis=1)
-    mask = ((jnp.uint32(1) << wsafe.astype(jnp.uint32)) - 1)[:, None]
-    lc = ((word >> shift) & mask).astype(jnp.int32)
-    lc = jnp.where(w[:, None] == 0, 0, lc)                     # constant seg
+    Wm = arrays.bwt.shape[1]
+    w_m = 32 // (-(-seg // Wm))
+    Ws = arrays.seg_ovf.shape[1]
+    w_s = 32 // (-(-seg // Ws)) if arrays.seg_ovf.shape[0] > 1 else 8
+    return w_m, w_s
+
+
+def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
+    """[B, W] words at STATIC width w -> int32[B, seg] codes.  The word
+    select uses constant indices (a broadcast/slice, not a data gather),
+    so decode is pure VPU work."""
+    per_word = 32 // w
+    pos = np.arange(seg)
+    widx = jnp.asarray((pos // per_word).astype(np.int32))
+    shift = jnp.asarray(((pos % per_word) * w).astype(np.uint32))
+    word = words[:, widx]                                   # [B, seg]
+    return ((word >> shift[None, :])
+            & jnp.uint32((1 << w) - 1)).astype(jnp.int32)
+
+
+def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
+    """(codes int32[B, SEG] in PER-LANE space, is_side bool[B]): one main
+    row gather (+ a lax.cond side gather only when some lane's segment
+    lives in the overflow table)."""
+    seg = seg_size(arrays)
+    w_m, w_s = _vseg_widths(arrays)
+    main = jnp.take(arrays.bwt, s, axis=0)                  # [B, Wm] rows
+    g = _decode_static(main, w_m, seg)
+    ovf = arrays.seg_woff[s]
+    is_side = ovf > 0
+    if arrays.seg_ovf.shape[0] > 1:
+        n_side = arrays.seg_ovf.shape[0]
+
+        def with_side(g):
+            side = jnp.take(arrays.seg_ovf,
+                            jnp.clip(ovf, 0, n_side - 1), axis=0)
+            gs = _decode_static(side, w_s, seg)
+            return jnp.where(is_side[:, None], gs, g)
+
+        g = jax.lax.cond(jnp.any(is_side), with_side, lambda g: g, g)
+    return g, is_side
+
+
+def _vseg_query_code(arrays: FMArrays, s: jax.Array, cd: jax.Array):
+    """Per-lane-space code of dense code cd (side segments use global
+    codes; absent symbols get a -1 sentinel that matches nothing)."""
     syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
     SMAX = syms.shape[1]
-    ident = (arrays.seg_nsym[s].astype(jnp.int32) >= 255)[:, None]
-    mapped = jnp.take_along_axis(syms, jnp.minimum(lc, SMAX - 1), axis=1)
-    return jnp.where(ident, lc, mapped)
+    ins = jnp.sum((syms < cd[:, None]).astype(jnp.int32), axis=1)
+    at = jnp.take_along_axis(
+        syms, jnp.minimum(ins, SMAX - 1)[:, None], axis=1)[:, 0]
+    present = at == cd
+    is_side = arrays.seg_woff[s] > 0
+    return jnp.where(is_side, cd, jnp.where(present, ins, -1))
+
+
+def _gather_segments_vseg(arrays: FMArrays, s: jax.Array) -> jax.Array:
+    """Generic (cold-path) vseg decode to GLOBAL dense codes: grid decode
+    + per-position mapping through the segment symbol list.  Hot paths
+    (_occ_dense / lf_grank_step) compare in LOCAL code space instead and
+    skip the [B, SEG] mapping."""
+    grid, is_side = _vseg_local_grid(arrays, s)
+    syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+    SMAX = syms.shape[1]
+    mapped = jnp.take_along_axis(
+        syms, jnp.clip(grid, 0, SMAX - 1), axis=1)
+    return jnp.where(is_side[:, None], grid, mapped)
 
 
 def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
@@ -176,8 +215,32 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
     return arrays.occ_ckpt[s, c]
 
 
+def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
+                    r: jax.Array) -> jax.Array:
+    """vseg occ: compare in LOCAL code space (one main-row gather + the
+    symbol-list row; no [B, SEG] global mapping)."""
+    seg = seg_size(arrays)
+    n_rows_total = n_segments(arrays) * seg
+    valid = cd >= 0
+    cc = jnp.where(valid, cd, 0)
+    at_end = r >= n_rows_total
+    s = jnp.minimum(r // seg, n_segments(arrays) - 1)
+    off = r - s * seg
+    base = ckpt_base(arrays, s, cc)
+    grid, _ = _vseg_local_grid(arrays, s)
+    lq = _vseg_query_code(arrays, s, cc)
+    iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
+    within = jnp.sum(
+        (grid == lq[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    return jnp.where(valid, jnp.where(at_end, total, base + within), 0)
+
+
 def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
     """occ for dense codes; cd < 0 counts nothing."""
+    if is_vseg(arrays):
+        return _occ_dense_vseg(arrays, cd, r.astype(jnp.int32))
     seg = seg_size(arrays)
     n_rows_total = n_segments(arrays) * seg
     valid = cd >= 0
@@ -382,13 +445,30 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
     s = r // seg
     off = r - s * seg
 
-    segdata = gather_segments(arrays, s)                     # [B, SEG] int32
-    c = segdata[jnp.arange(r.shape[0]), off]
-    base = ckpt_base(arrays, s, c)                           # [B]
-    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
-    within = jnp.sum(
-        (segdata == c[:, None]) & (iota < off[:, None]), axis=1
-    ).astype(jnp.int32)
+    if is_vseg(arrays):
+        # local-space walk step: symbol at off + its in-segment count from
+        # the same decoded grid; ONE tiny symbol-list lookup maps the hit
+        # code to global space for C/ckpt
+        grid, is_side = _vseg_local_grid(arrays, s)
+        lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
+        syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+        SMAX = syms.shape[1]
+        cg = jnp.take_along_axis(
+            syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
+        c = jnp.where(is_side, lc, cg)
+        base = ckpt_base(arrays, s, c)
+        iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
+        within = jnp.sum(
+            (grid == lc[:, None]) & (iota < off[:, None]), axis=1
+        ).astype(jnp.int32)
+    else:
+        segdata = gather_segments(arrays, s)                 # [B, SEG] int32
+        c = segdata[jnp.arange(r.shape[0]), off]
+        base = ckpt_base(arrays, s, c)                       # [B]
+        iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+        within = jnp.sum(
+            (segdata == c[:, None]) & (iota < off[:, None]), axis=1
+        ).astype(jnp.int32)
     lf = arrays.C[c] + base + within
 
     words = jnp.take(arrays.mark_bits, s, axis=0)            # [B, W]

@@ -72,6 +72,14 @@ def dist_sort(
     nk = len(keys)
     cols = list(keys) + list(payload)
 
+    if D == 1:
+        # a 1-device mesh degenerates to ONE local sort — skip the
+        # splitter/exchange/rebalance machinery entirely (its padded
+        # buffers cost ~90x at D=1; axis_size is static so this branch
+        # compiles away)
+        out = list(jax.lax.sort(tuple(cols), num_keys=nk))
+        return out[:nk], out[nk:], jnp.int32(0)
+
     # ---- pass 1: local sort ----
     cols = list(jax.lax.sort(tuple(cols), num_keys=nk))
     skeys = cols[:nk]

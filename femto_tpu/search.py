@@ -52,15 +52,18 @@ def _count_jit(arrays, n, pats, row0=0):
 
 
 def _locate_jit(arrays, n, mark_period, rows):
-    """Locate dispatch.  Default is the single-dispatch lockstep loop; the
-    host-driven phased walk (lane compaction between scan phases) is
-    opt-in via FEMTO_TPU_PHASED_LOCATE=1 — it cuts executed lanes ~1.4x
-    but costs 2+ host syncs, which lose on remote-dispatch transports
-    (measured: 0.25M vs 0.67M rows/s through the TPU tunnel)."""
+    """Locate dispatch.  Large batches default to the DEVICE-compaction
+    pyramid walk (capacity-halving phases, zero host syncs — measured
+    1.5x the lockstep loop on the real chip, PERF.md round 3); small
+    batches keep the single lockstep loop.  The host-driven phased walk
+    stays opt-in via FEMTO_TPU_PHASED_LOCATE=1 (it LOSES on
+    remote-dispatch transports: 0.25M vs 0.67M rows/s, round 2)."""
     import os
 
     if os.environ.get("FEMTO_TPU_PHASED_LOCATE"):
         return S.locate_rows_phased(arrays, mark_period, rows)
+    if rows.shape[0] >= 16384 and mark_period >= 6:
+        return S.locate_rows_pyramid(arrays, mark_period, rows)
     return S._locate_rows_jit(arrays, mark_period, rows)
 
 
