@@ -166,7 +166,7 @@ def main():
         arrays, n_marks, _ = build_fm_arrays_device(
             text_dev, sa, doc_starts_dev,
             n=n, seg=seg, mark_period=mark_period, ndocs=ndocs,
-            tier=tier, pull=pull,
+            tier=tier, pull=pull, alpha=alpha_np,
         )
         _ = int(fingerprint(arrays))
         return arrays, int(n_marks)

@@ -146,7 +146,7 @@ def main():
         arrays, n_marks, alpha_used = build_fm_arrays_device(
             text, sa, doc_starts_dev, n=n_uniform, seg=seg,
             mark_period=mark_period, ndocs=docs_per_chunk, tier=tier,
-            pull=pull)
+            pull=pull, alpha=alpha_np)
         _ = int(fingerprint(arrays))
         dt_build = time.perf_counter() - t0
         if profile:

@@ -95,7 +95,8 @@ def main():
     def build_tier(tier, seg):
         arrays, n_marks, _ = build_fm_arrays_device(
             text_dev, sa, doc_starts_dev, n=n, seg=seg,
-            mark_period=mark_period, ndocs=ndocs, tier=tier, pull=pull)
+            mark_period=mark_period, ndocs=ndocs, tier=tier, pull=pull,
+            alpha=alpha_np)
         _ = int(fingerprint(arrays))
         return arrays
 

@@ -669,6 +669,7 @@ def build_index(
             ndocs=ndocs_build,
             tier=tier,
             pull=pull,
+            alpha=alpha_np,
         )
         meta = FMMeta(
             n=n,

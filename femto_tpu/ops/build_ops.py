@@ -195,6 +195,7 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
 
 VSEG_SMAX = 32  # per-segment symbol-list capacity; K_s > SMAX -> identity
 
+_map_codes = jax.jit(lambda bwt_chars, amap: amap[bwt_chars])
 _to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
 _to_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
 _to_i8 = jax.jit(lambda x: x.astype(jnp.int8))
@@ -666,17 +667,23 @@ def build_fm_arrays_device(
     seg_multiple: int = 1,
     tier: str = "full",
     pull: jax.Array | None = None,
+    alpha: np.ndarray | None = None,
 ) -> Tuple[FMArrays, jax.Array, int]:
     """Assemble FMArrays on device.
 
     Returns (arrays, n_marks scalar, alpha_used).  Tiers (FMArrays
     docstring): "full" (int32 absolute checkpoints), "compact" (uint16
     relative + int32 L1), "packed" (compact + dense per-index alphabet +
-    bit-packed BWT words).
+    bit-packed BWT words), "vseg" (compressed serving tier).
 
     pull: optional int32[n] fused BWT+aux words carried through the suffix
     sort (suffix_array(text, payload=build_sa_payload(...))); skips the
-    O(n) random gather entirely."""
+    O(n) random gather entirely.
+
+    alpha: optional host array of the symbols present (supersets fine) —
+    the remapped tiers then skip the 512-wide device histogram AND its
+    host counts round-trip, computing the per-segment histogram directly
+    over K dense-code columns."""
     from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
@@ -711,27 +718,42 @@ def build_fm_arrays_device(
     alpha_used = 0
     vseg_extra = {}
     if tier in ("packed", "vseg"):
-        per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
-        counts = np.asarray(per_seg.sum(axis=0))       # [A] tiny transfer
-        used = np.nonzero(counts > 0)[0].astype(np.int32)
+        if alpha is not None:
+            # the BWT contains exactly the text symbols (every symbol is
+            # someone's preceding character on the cyclic string), plus
+            # the pad value 0 when the build is shape-padded
+            used = np.asarray(alpha, np.int32)
+            if n_seg * seg > n and used[0] != 0:
+                used = np.concatenate([np.zeros(1, np.int32), used])
+            per_seg_used = None
+        else:
+            per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
+            counts = np.asarray(per_seg.sum(axis=0))   # [A] tiny transfer
+            used = np.nonzero(counts > 0)[0].astype(np.int32)
+            per_seg_used = per_seg[:, jnp.asarray(used)]
         K = int(used.shape[0])
         alpha_used = K
         alpha_map_np = np.full(A, -1, np.int32)
         alpha_map_np[used] = np.arange(K, dtype=np.int32)
         alpha_map = jnp.asarray(alpha_map_np)
         alpha_rev = jnp.asarray(used)
+        if per_seg_used is None:
+            # 512-wide MXU histogram, used-columns selected ON DEVICE (a
+            # K-column histogram over pre-mapped codes measured SLOWER —
+            # the 2-plane einsum lowers worse than the 16-plane one); the
+            # host-alpha path's win is skipping the counts round-trip
+            per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
+            per_seg_used = jnp.take(per_seg, jnp.asarray(used), axis=1)
         if tier == "vseg":
             (bwt_store, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
              seg_syms) = _build_vseg(
-                bwt_chars, per_seg[:, jnp.asarray(used)], used,
+                bwt_chars, per_seg_used, used,
                 n=n, n_seg=n_seg, seg=seg,
             )
             vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
                               seg_woff=seg_woff, seg_syms=seg_syms)
         else:
-            C, occ_ckpt, occ_l1 = _ckpt_stage(
-                per_seg[:, jnp.asarray(used)], compact=True
-            )
+            C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
             per_word, bits = _pack_widths(K)
             bwt_store = _pack_stage(
                 bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg,
