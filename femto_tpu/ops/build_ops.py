@@ -202,34 +202,6 @@ _to_i8 = jax.jit(lambda x: x.astype(jnp.int8))
 _to_i16 = jax.jit(lambda x: x.astype(jnp.int16))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _ckpt_interp_stage(per_seg):
-    """vseg checkpoints: C + int32 L1 group rows (+ a totals row) + raw
-    int32 deltas from the within-group linear interpolation (the query
-    side reconstructs with the same floor-div formula, rank.ckpt_base).
-    Returns (C, delta int32, l1 int32[n_grp+1, K], dmax scalar)."""
-    from ..fmindex import L1_GROUP
-
-    n_seg, K = per_seg.shape
-    counts = per_seg.sum(axis=0)
-    C = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-    )
-    occ_abs = jnp.concatenate(
-        [jnp.zeros((1, K), jnp.int32),
-         jnp.cumsum(per_seg[:-1], axis=0).astype(jnp.int32)]
-    )
-    l1 = jnp.concatenate(
-        [occ_abs[::L1_GROUP], counts[None, :].astype(jnp.int32)]
-    )                                                   # [n_grp + 1, K]
-    sidx = jnp.arange(n_seg, dtype=jnp.int32)
-    g = sidx // L1_GROUP
-    frac = (sidx - g * L1_GROUP)[:, None]
-    pred = l1[g] + ((l1[g + 1] - l1[g]) * frac) // L1_GROUP
-    delta = occ_abs - pred
-    return C, delta, l1, jnp.max(jnp.abs(delta))
-
-
 @functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
 def _vseg_stats_stage(codes2d, *, seg, SMAX):
     """Per-segment sorted distinct codes (device, chunked).
@@ -339,21 +311,25 @@ def _vseg_width_for(seg: int, w: int):
 def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     """Assemble the vseg v2 tier arrays.
 
-    Layout (chosen after the round-3 TPU measurement: the flat ragged
-    stream's per-element gathers ran ~175x slower than row gathers —
-    gather cost is per ROW, so the serving layout must be 2-D):
+    Layout (shaped by the round-3 TPU measurements — gather cost is per
+    issued ROW, so the serving tier must minimize both row size and the
+    NUMBER of gather streams per rank):
 
-      * main: uint32[n_seg, W] — every segment's codes at ONE width
-        w_main, chosen as argmin over candidate widths of
-        n_seg*W(w)*4 + overflow(w)*W_side*4 (the segments whose
-        per-segment alphabet doesn't fit w_main move to the side table);
-        codes are LOCAL to the segment's sorted symbol list;
+      * main: uint32[n_seg, W + Wsym] — per row, the segment's codes at
+        ONE width w_main (argmin over candidate widths of
+        n_seg*W(w)*4 + overflow(w)*W_side*4), LOCAL to the segment's
+        sorted symbol list, followed by the symbol list itself packed
+        into Wsym words — the rank kernel reads codes AND the symbol map
+        from the SAME gathered row (one stream, not two);
       * side: uint32[n_ovf + 1, W_side] — overflow/identity segments at
-        8 bits (9 for byte-complete corpora), GLOBAL dense codes, row 0
-        a dummy so unaffected lanes gather row 0;
-      * seg_woff int32[n_seg]: 1-based side row, 0 = main;
-      * seg_nsym / seg_syms: per-segment symbol count + sorted list
-        (identity sentinel 255).
+        8-9 bits, GLOBAL dense codes, row 0 a dummy (gathered via
+        lax.cond only when a lane touches an overflow segment);
+      * checkpoints: the compact scheme (uint16 relative + int32 L1 group
+        rows) — measured SAME bytes as int8 interpolation at L1_GROUP=16
+        but one gather stream fewer per rank;
+      * seg_woff int32[n_seg]: 1-based side row, 0 = main; seg_nsym
+        uint8[n_seg] (255 = overflow/identity); seg_syms is a [1, SMAX]
+        dummy that carries SMAX and the u8/u16 symbol dtype statically.
 
     Returns (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
     seg_syms)."""
@@ -362,8 +338,7 @@ def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     alpha_map_np[used] = np.arange(K, dtype=np.int32)
     alpha_map = jnp.asarray(alpha_map_np)
 
-    C, delta, l1, dmax = _ckpt_interp_stage(per_seg_used)
-    occ_ckpt = (_to_i8 if int(dmax) <= 127 else _to_i16)(delta)
+    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
 
     wide = K > 256
     w_side, Wside = _vseg_width_for(seg, 9 if wide else 8)
@@ -385,6 +360,17 @@ def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     _, w_main, cov = best
     bwt_main = _vseg_pack_uniform(codes2d, syms_i32, nsym_i32, seg=seg,
                                   w=w_main, SMAX=VSEG_SMAX, side=False)
+    # append the packed symbol list to each row (pads -> dtype max, which
+    # never compares below a real code)
+    per = 2 if wide else 4
+    shift_unit = 32 // per
+    symsv = jnp.minimum(syms_i32, 0xFFFF if wide else 0xFF).astype(
+        jnp.uint32)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(shift_unit))
+    sym_words = jnp.sum(
+        symsv.reshape(n_seg, VSEG_SMAX // per, per) << shifts[None, None, :],
+        axis=2, dtype=jnp.uint32)
+    bwt_main = jnp.concatenate([bwt_main, sym_words], axis=1)
 
     ovf_idx = np.nonzero(~cov)[0].astype(np.int32)
     novf = int(ovf_idx.shape[0])
@@ -402,11 +388,11 @@ def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     else:
         seg_ovf = jnp.zeros((1, 1), jnp.uint32)
 
-    # syms pad -> max value of the storage dtype (never < any real code)
-    syms = jnp.minimum(syms_i32, 0xFFFF if wide else 0xFF)
-    syms = (_to_u16 if wide else _to_u8)(syms)
-    return (bwt_main, occ_ckpt, l1, C, seg_ovf, _to_u8(nsym_i32),
-            jnp.asarray(seg_woff_np), syms)
+    # dummy typed marker: carries SMAX + symbol dtype in its shape/dtype
+    seg_syms = (_to_u16 if wide else _to_u8)(
+        jnp.zeros((1, VSEG_SMAX), jnp.int32))
+    return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
+            jnp.asarray(seg_woff_np), seg_syms)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
@@ -689,7 +675,7 @@ def build_fm_arrays_device(
 
     if tier not in ("full", "compact", "packed", "vseg"):
         raise ValueError(f"unknown tier {tier!r}")
-    compact = tier in ("compact", "packed")
+    compact = tier in ("compact", "packed", "vseg")
     n_seg = n // seg + 1
     n_seg = -(-n_seg // seg_multiple) * seg_multiple
     if compact:

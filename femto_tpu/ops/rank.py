@@ -104,16 +104,36 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     return vals.reshape(words.shape[0], -1)[:, :seg].astype(jnp.int32)
 
 
-def _vseg_widths(arrays: FMArrays):
-    """(w_main, w_side) re-derived from row shapes (the build
-    canonicalizes widths so this inversion is exact —
-    build_ops._vseg_width_for)."""
+def _vseg_geom(arrays: FMArrays):
+    """(w_main, W_code, Wsym, w_side): widths re-derived from row shapes
+    (the build canonicalizes widths so this inversion is exact —
+    build_ops._vseg_width_for).  Main rows are [W_code code words | Wsym
+    packed symbol-list words]; the seg_syms dummy carries SMAX and the
+    u8/u16 symbol dtype."""
     seg = seg_size(arrays)
-    Wm = arrays.bwt.shape[1]
+    SMAX = arrays.seg_syms.shape[1]
+    per = 2 if arrays.seg_syms.dtype == jnp.uint16 else 4
+    Wsym = SMAX // per
+    Wm = arrays.bwt.shape[1] - Wsym
     w_m = 32 // (-(-seg // Wm))
     Ws = arrays.seg_ovf.shape[1]
     w_s = 32 // (-(-seg // Ws)) if arrays.seg_ovf.shape[0] > 1 else 8
-    return w_m, w_s
+    return w_m, Wm, Wsym, w_s
+
+
+def _vseg_syms_from_row(arrays: FMArrays, row: jax.Array) -> jax.Array:
+    """int32[B, SMAX] sorted symbol list unpacked from the gathered main
+    row's trailing words (pads = dtype max: never below a real code)."""
+    SMAX = arrays.seg_syms.shape[1]
+    wide = arrays.seg_syms.dtype == jnp.uint16
+    per = 2 if wide else 4
+    unit = 32 // per
+    sw = row[:, -(SMAX // per):]
+    k = np.arange(SMAX)
+    widx = jnp.asarray((k // per).astype(np.int32))
+    shift = jnp.asarray(((k % per) * unit).astype(np.uint32))
+    mask = jnp.uint32(0xFFFF if wide else 0xFF)
+    return ((sw[:, widx] >> shift[None, :]) & mask).astype(jnp.int32)
 
 
 def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
@@ -130,13 +150,14 @@ def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
 
 
 def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
-    """(codes int32[B, SEG] in PER-LANE space, is_side bool[B]): one main
-    row gather (+ a lax.cond side gather only when some lane's segment
-    lives in the overflow table)."""
+    """(codes int32[B, SEG] in PER-LANE space, is_side bool[B], main row
+    uint32[B, W+Wsym]): one main row gather — which also carries the
+    symbol list — plus a lax.cond side gather only when some lane's
+    segment lives in the overflow table."""
     seg = seg_size(arrays)
-    w_m, w_s = _vseg_widths(arrays)
-    main = jnp.take(arrays.bwt, s, axis=0)                  # [B, Wm] rows
-    g = _decode_static(main, w_m, seg)
+    w_m, Wm, _, w_s = _vseg_geom(arrays)
+    row = jnp.take(arrays.bwt, s, axis=0)             # [B, Wm+Wsym] rows
+    g = _decode_static(row[:, :Wm], w_m, seg)
     ovf = arrays.seg_woff[s]
     is_side = ovf > 0
     if arrays.seg_ovf.shape[0] > 1:
@@ -149,19 +170,20 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
             return jnp.where(is_side[:, None], gs, g)
 
         g = jax.lax.cond(jnp.any(is_side), with_side, lambda g: g, g)
-    return g, is_side
+    return g, is_side, row
 
 
-def _vseg_query_code(arrays: FMArrays, s: jax.Array, cd: jax.Array):
+def _vseg_query_code(arrays: FMArrays, row: jax.Array, is_side: jax.Array,
+                     cd: jax.Array):
     """Per-lane-space code of dense code cd (side segments use global
-    codes; absent symbols get a -1 sentinel that matches nothing)."""
-    syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+    codes; absent symbols get a -1 sentinel that matches nothing).  The
+    symbol list comes from the already-gathered main row."""
+    syms = _vseg_syms_from_row(arrays, row)
     SMAX = syms.shape[1]
     ins = jnp.sum((syms < cd[:, None]).astype(jnp.int32), axis=1)
     at = jnp.take_along_axis(
         syms, jnp.minimum(ins, SMAX - 1)[:, None], axis=1)[:, 0]
     present = at == cd
-    is_side = arrays.seg_woff[s] > 0
     return jnp.where(is_side, cd, jnp.where(present, ins, -1))
 
 
@@ -170,8 +192,8 @@ def _gather_segments_vseg(arrays: FMArrays, s: jax.Array) -> jax.Array:
     + per-position mapping through the segment symbol list.  Hot paths
     (_occ_dense / lf_grank_step) compare in LOCAL code space instead and
     skip the [B, SEG] mapping."""
-    grid, is_side = _vseg_local_grid(arrays, s)
-    syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+    grid, is_side, row = _vseg_local_grid(arrays, s)
+    syms = _vseg_syms_from_row(arrays, row)
     SMAX = syms.shape[1]
     mapped = jnp.take_along_axis(
         syms, jnp.clip(grid, 0, SMAX - 1), axis=1)
@@ -198,17 +220,9 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
     """Absolute occurrence count before segment s for DENSE code c, under
     any checkpoint tier (dispatch is static: on occ_ckpt.dtype).
 
-    vseg (int8/int16): the checkpoint is a DELTA from the linear
-    interpolation between the enclosing L1 group row and the next
-    (occ_l1 is [n_grp + 1, K]; its last row is the total counts), which
-    keeps the per-segment stream at 1 byte/symbol on stationary text."""
-    if arrays.occ_ckpt.dtype in (jnp.int8, jnp.int16):
-        g = s // L1_GROUP
-        frac = s - g * L1_GROUP
-        l0 = arrays.occ_l1[g, c]
-        l1v = arrays.occ_l1[g + 1, c]
-        pred = l0 + ((l1v - l0) * frac) // L1_GROUP
-        return pred + arrays.occ_ckpt[s, c].astype(jnp.int32)
+    The compact/packed/vseg tiers all use the uint16-relative scheme
+    (measured same bytes as int8 interpolation at L1_GROUP=16, one
+    gather stream fewer per rank)."""
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
         return arrays.occ_l1[s // L1_GROUP, c] + rel
@@ -227,8 +241,8 @@ def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
     s = jnp.minimum(r // seg, n_segments(arrays) - 1)
     off = r - s * seg
     base = ckpt_base(arrays, s, cc)
-    grid, _ = _vseg_local_grid(arrays, s)
-    lq = _vseg_query_code(arrays, s, cc)
+    grid, is_side, row = _vseg_local_grid(arrays, s)
+    lq = _vseg_query_code(arrays, row, is_side, cc)
     iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
     within = jnp.sum(
         (grid == lq[:, None]) & (iota < off[:, None]), axis=1
@@ -449,9 +463,9 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
         # local-space walk step: symbol at off + its in-segment count from
         # the same decoded grid; ONE tiny symbol-list lookup maps the hit
         # code to global space for C/ckpt
-        grid, is_side = _vseg_local_grid(arrays, s)
+        grid, is_side, rowm = _vseg_local_grid(arrays, s)
         lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
-        syms = jnp.take(arrays.seg_syms, s, axis=0).astype(jnp.int32)
+        syms = _vseg_syms_from_row(arrays, rowm)
         SMAX = syms.shape[1]
         cg = jnp.take_along_axis(
             syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
