@@ -349,6 +349,11 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
 def _specs_for_arrays(axis: str, arrays: FMArrays = None):
     """PartitionSpecs matching build_index_sharded's placement (occ_l1 is
     sharded for the compact/packed tiers, a replicated dummy for full)."""
+    if arrays is not None and R.is_vseg(arrays):
+        raise ValueError(
+            "the vseg tier is a single-chip/chunked serving layout; build "
+            "sharded indexes with tier='packed' for mesh queries"
+        )
     l1_spec = P()
     if arrays is not None and arrays.occ_l1.shape[0] > 1:
         l1_spec = P(axis, None)
