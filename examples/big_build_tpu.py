@@ -47,7 +47,10 @@ def main():
     doc_log2 = int(os.environ.get("BIG_DOC_LOG2", "24"))
     doc_size = 1 << doc_log2
     ndocs = int(os.environ.get("BIG_NDOCS", "129"))
-    docs_per_chunk = int(os.environ.get("BIG_DOCS_PER_CHUNK", "16"))
+    # 8 docs = 128 MiB chunks: the proven flagship configuration (256 MiB
+    # chunks run at the same MiB/s but exhaust HBM to fragmentation after
+    # ~8 chunks on a 16 GB chip — measured round 3)
+    docs_per_chunk = int(os.environ.get("BIG_DOCS_PER_CHUNK", "8"))
     tier = os.environ.get("BIG_TIER", "packed")
     seg = int(os.environ.get("BIG_SEG", "256"))
     mark_period = int(os.environ.get("BIG_MARK", "20"))
@@ -139,7 +142,9 @@ def main():
         payload = build_sa_payload(
             text, doc_starts_dev, n=n_uniform, mark_period=mark_period,
             ndocs=docs_per_chunk)
-        sa, pull = ft.suffix_array(text, payload=payload, alpha=alpha_np)
+        sa, pull = ft.suffix_array(
+            text, payload=payload, alpha=alpha_np,
+            n_real=n_c if n_c < n_uniform else None)
         if profile:
             _ = int(fingerprint((sa, pull)))
             t_sa = time.perf_counter() - t0

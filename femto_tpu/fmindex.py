@@ -126,19 +126,21 @@ class FMArrays(NamedTuple):
         symbols) with the BWT bit-packed into uint32 words (32//bits codes
         per word, bits = code width for K) on top of the compact
         checkpoints — ~2 B/char on English text, ~0.8 on DNA;
-      * vseg:    PER-SEGMENT dense remap at a size-optimal shared width —
-        the behavioral replacement for the reference's Huffman wavelet
-        tree + RLE bseq compression (wtree.c:359-770,
-        block_format.txt:161-188, 0.47 B/input-byte on English,
-        ChangeLog 1.1.0): each segment stores codes LOCAL to its own
-        sorted symbol list (seg_syms/seg_nsym) in `bwt` =
-        uint32[n_seg, W] rows at the width that minimizes total bytes
-        (main rows + overflow side rows); segments whose alphabet
-        doesn't fit move to the seg_ovf side table (8-9 bit global
-        codes, seg_woff holds their 1-based side row).  Checkpoints are
-        int8 deltas from a linear interpolation between int32 L1 group
-        rows.  Row-gather serving layout (per-element gathers measured
-        ~175x slower, PERF.md round 3).  Dispatch: seg_nsym is not None.
+      * vseg:    the compressed SERVING tier — behavioral replacement for
+        the reference's Huffman wavelet tree + RLE bseq compression
+        (wtree.c:359-770, block_format.txt:161-188, 0.47 B/input-byte on
+        English, ChangeLog 1.1.0).  `bwt` = uint32[n_seg, total] rows,
+        one per segment: [codes at ONE size-optimal width, LOCAL to the
+        segment's sorted symbol list | the packed symbol list | the mark
+        bitmap words | the mark-rank checkpoint | the uint16-relative
+        occ checkpoint row] — ONE gathered row serves a whole rank and a
+        whole locate-walk step (gather cost is per issued row: the
+        flat-stream v1 measured 175x slower, and each co-located stream
+        removed ~proportional throughput, PERF.md round 3).  Segments
+        whose alphabet exceeds the chosen width live in the seg_ovf side
+        table (8-9 bit global codes; seg_woff holds their 1-based side
+        row); occ_ckpt/mark_bits/mark_ckpt become 1-row dtype/shape
+        markers.  Dispatch: seg_nsym is not None.
     """
 
     bwt: jax.Array        # uint16[n_seg, SEG] symbols | uint32[n_seg, W]
@@ -652,11 +654,14 @@ def build_index(
                 text_dev, doc_starts_dev, n=n_build, mark_period=mark_period,
                 ndocs=ndocs_build,
             )
-            sa_dev, pull = suffix_array(text_dev, payload=payload,
-                                        alpha=alpha_np)
+            sa_dev, pull = suffix_array(
+                text_dev, payload=payload, alpha=alpha_np,
+                n_real=n if n_build > n else None)
         else:
             sa_dev = (
-                suffix_array(text_dev, alpha=alpha_np) if sa is None
+                suffix_array(text_dev, alpha=alpha_np,
+                             n_real=n if n_build > n else None)
+                if sa is None
                 else jnp.asarray(np.asarray(sa, dtype=np.int32))
             )
         arrays, n_marks, alpha_used = build_fm_arrays_device(
@@ -677,7 +682,8 @@ def build_index(
             mark_period=mark_period,
             num_docs=prepared.num_docs,
             n_marks=int(n_marks),
-            n_seg=int(arrays.occ_ckpt.shape[0]),
+            n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
+                      else arrays.occ_ckpt.shape[0]),
             alpha_used=alpha_used,
             n_rows=n_build,
             row0=n_build - n,

@@ -308,19 +308,23 @@ def _vseg_width_for(seg: int, w: int):
     return 32 // per_word, W
 
 
-def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
+def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
+                *, n, n_seg, seg):
     """Assemble the vseg v2 tier arrays.
 
     Layout (shaped by the round-3 TPU measurements — gather cost is per
     issued ROW, so the serving tier must minimize both row size and the
     NUMBER of gather streams per rank):
 
-      * main: uint32[n_seg, W + Wsym] — per row, the segment's codes at
-        ONE width w_main (argmin over candidate widths of
-        n_seg*W(w)*4 + overflow(w)*W_side*4), LOCAL to the segment's
-        sorted symbol list, followed by the symbol list itself packed
-        into Wsym words — the rank kernel reads codes AND the symbol map
-        from the SAME gathered row (one stream, not two);
+      * main: uint32[n_seg, W + Wsym + seg/32 + 1 + ceil(K/2)] — per
+        row: the segment's codes at ONE width w_main (argmin over
+        candidate widths of n_seg*W(w)*4 + overflow(w)*W_side*4, LOCAL
+        to the segment's sorted symbol list), then the packed symbol
+        list, the mark bitmap words, the mark-rank checkpoint, and the
+        uint16-relative occ checkpoint row — ONE gathered row serves the
+        whole rank AND the whole locate walk step (codes, symbol map,
+        occ base, mark bit, mark rank); only the small L1 point and the
+        deferred mark value live elsewhere;
       * side: uint32[n_ovf + 1, W_side] — overflow/identity segments at
         8-9 bits, GLOBAL dense codes, row 0 a dummy (gathered via
         lax.cond only when a lane touches an overflow segment);
@@ -370,7 +374,18 @@ def _build_vseg(bwt_chars, per_seg_used, used, *, n, n_seg, seg):
     sym_words = jnp.sum(
         symsv.reshape(n_seg, VSEG_SMAX // per, per) << shifts[None, None, :],
         axis=2, dtype=jnp.uint32)
-    bwt_main = jnp.concatenate([bwt_main, sym_words], axis=1)
+    # mark words + mark-rank checkpoint + packed uint16 relative ckpts
+    mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
+    Kd = per_seg_used.shape[1]
+    relw = occ_ckpt.astype(jnp.uint32)
+    if Kd % 2:
+        relw = jnp.concatenate(
+            [relw, jnp.zeros((n_seg, 1), jnp.uint32)], axis=1)
+    rel_words = relw[:, 0::2] | (relw[:, 1::2] << 16)
+    bwt_main = jnp.concatenate(
+        [bwt_main, sym_words, mark_bits.astype(jnp.uint32), mck_w,
+         rel_words], axis=1)
+    occ_ckpt = occ_ckpt[:1]        # served from the rows; dummy keeps dtype
 
     ovf_idx = np.nonzero(~cov)[0].astype(np.int32)
     novf = int(ovf_idx.shape[0])
@@ -701,6 +716,11 @@ def build_fm_arrays_device(
         a_row = _aux_gather_stage(
             sa, doc_starts, n=n, mark_period=mark_period, ndocs=ndocs
         )
+    cap = mark_cap(n, ndocs, mark_period, seg)
+    mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_finish(
+        sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
+        mark_period=mark_period,
+    )
     alpha_used = 0
     vseg_extra = {}
     if tier in ("packed", "vseg"):
@@ -733,11 +753,15 @@ def build_fm_arrays_device(
         if tier == "vseg":
             (bwt_store, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
              seg_syms) = _build_vseg(
-                bwt_chars, per_seg_used, used,
+                bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
                 n=n, n_seg=n_seg, seg=seg,
             )
             vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
                               seg_woff=seg_woff, seg_syms=seg_syms)
+            # marks and relative checkpoints live INSIDE the serving rows;
+            # keep 1-row dummies that preserve seg_size()/dtype dispatch
+            mark_bits = mark_bits[:1]
+            mark_ckpt = mark_ckpt[:1]
         else:
             C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
             per_word, bits = _pack_widths(K)
@@ -752,11 +776,6 @@ def build_fm_arrays_device(
         alpha_map = jnp.arange(A, dtype=jnp.int32)
         alpha_rev = jnp.arange(A, dtype=jnp.int32)
         bwt_store = bwt.reshape(n_seg, seg)
-    cap = mark_cap(n, ndocs, mark_period, seg)
-    mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows = _marks_finish(
-        sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
-        mark_period=mark_period,
-    )
 
     arrays = FMArrays(
         bwt=bwt_store,

@@ -39,7 +39,10 @@ def seg_size(arrays: FMArrays) -> int:
 
 
 def n_segments(arrays: FMArrays) -> int:
-    """Segment count (occ_ckpt is [n_seg, K] in every tier)."""
+    """Segment count (vseg keeps checkpoints inside its serving rows and
+    occ_ckpt is a 1-row dtype marker there)."""
+    if arrays.seg_nsym is not None:
+        return arrays.bwt.shape[0]
     return arrays.occ_ckpt.shape[0]
 
 
@@ -104,36 +107,82 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     return vals.reshape(words.shape[0], -1)[:, :seg].astype(jnp.int32)
 
 
-def _vseg_geom(arrays: FMArrays):
-    """(w_main, W_code, Wsym, w_side): widths re-derived from row shapes
-    (the build canonicalizes widths so this inversion is exact —
-    build_ops._vseg_width_for).  Main rows are [W_code code words | Wsym
-    packed symbol-list words]; the seg_syms dummy carries SMAX and the
-    u8/u16 symbol dtype."""
-    seg = seg_size(arrays)
-    SMAX = arrays.seg_syms.shape[1]
-    per = 2 if arrays.seg_syms.dtype == jnp.uint16 else 4
-    Wsym = SMAX // per
-    Wm = arrays.bwt.shape[1] - Wsym
-    w_m = 32 // (-(-seg // Wm))
-    Ws = arrays.seg_ovf.shape[1]
-    w_s = 32 // (-(-seg // Ws)) if arrays.seg_ovf.shape[0] > 1 else 8
-    return w_m, Wm, Wsym, w_s
+class _VsegGeom:
+    """Static layout of a vseg main row (all derived from array shapes):
+    [codes W | symbol list Wsym | mark words seg/32 | mark ckpt 1 |
+     uint16-relative occ ckpts ceil(K/2)]."""
+
+    __slots__ = ("seg", "w_main", "W", "Wsym", "off_syms", "off_mk",
+                 "Wmk", "off_mck", "off_rel", "w_side")
+
+    def __init__(self, arrays: FMArrays):
+        self.seg = seg_size(arrays)
+        SMAX = arrays.seg_syms.shape[1]
+        per = 2 if arrays.seg_syms.dtype == jnp.uint16 else 4
+        self.Wsym = SMAX // per
+        self.Wmk = self.seg // 32
+        K = arrays.C.shape[0] - 1
+        Wrel = -(-K // 2)
+        total = arrays.bwt.shape[1]
+        self.W = total - self.Wsym - self.Wmk - 1 - Wrel
+        self.w_main = 32 // (-(-self.seg // self.W))
+        self.off_syms = self.W
+        self.off_mk = self.W + self.Wsym
+        self.off_mck = self.off_mk + self.Wmk
+        self.off_rel = self.off_mck + 1
+        Ws = arrays.seg_ovf.shape[1]
+        self.w_side = (32 // (-(-self.seg // Ws))
+                       if arrays.seg_ovf.shape[0] > 1 else 8)
+
+
+def _vseg_geom(arrays: FMArrays) -> _VsegGeom:
+    return _VsegGeom(arrays)
 
 
 def _vseg_syms_from_row(arrays: FMArrays, row: jax.Array) -> jax.Array:
     """int32[B, SMAX] sorted symbol list unpacked from the gathered main
-    row's trailing words (pads = dtype max: never below a real code)."""
+    row (pads = dtype max: never below a real code)."""
+    g = _vseg_geom(arrays)
     SMAX = arrays.seg_syms.shape[1]
     wide = arrays.seg_syms.dtype == jnp.uint16
     per = 2 if wide else 4
     unit = 32 // per
-    sw = row[:, -(SMAX // per):]
+    sw = row[:, g.off_syms: g.off_syms + g.Wsym]
     k = np.arange(SMAX)
     widx = jnp.asarray((k // per).astype(np.int32))
     shift = jnp.asarray(((k % per) * unit).astype(np.uint32))
     mask = jnp.uint32(0xFFFF if wide else 0xFF)
     return ((sw[:, widx] >> shift[None, :]) & mask).astype(jnp.int32)
+
+
+def _vseg_base_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
+                        c: jax.Array) -> jax.Array:
+    """Absolute occ base before segment s for dense code c: the
+    uint16-relative checkpoint comes from the already-gathered row; only
+    the small L1 point is a separate stream."""
+    g = _vseg_geom(arrays)
+    word = jnp.take_along_axis(
+        row, (g.off_rel + c // 2)[:, None], axis=1)[:, 0]
+    rel = (word >> ((c & 1).astype(jnp.uint32) * 16)) & jnp.uint32(0xFFFF)
+    return arrays.occ_l1[s // L1_GROUP, c] + rel.astype(jnp.int32)
+
+
+def _vseg_marks_from_row(arrays: FMArrays, row: jax.Array, r: jax.Array):
+    """(is_marked bool[B], grank int32[B]) from the gathered row's mark
+    words + mark-rank checkpoint."""
+    g = _vseg_geom(arrays)
+    words = row[:, g.off_mk: g.off_mk + g.Wmk]
+    off = r % g.seg
+    w_local = off // 32
+    word = jnp.take_along_axis(words, w_local[:, None], axis=1)[:, 0]
+    bit = ((word >> (r % 32).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+    widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+    full = jnp.where(widx < w_local[:, None], words, jnp.uint32(0))
+    cnt = jnp.sum(jax.lax.population_count(full), axis=1).astype(jnp.int32)
+    pmask = (jnp.uint32(1) << (r % 32).astype(jnp.uint32)) - jnp.uint32(1)
+    part = jax.lax.population_count(word & pmask).astype(jnp.int32)
+    mck = row[:, g.off_mck].astype(jnp.int32)
+    return bit, mck + cnt + part
 
 
 def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
@@ -154,10 +203,10 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
     uint32[B, W+Wsym]): one main row gather — which also carries the
     symbol list — plus a lax.cond side gather only when some lane's
     segment lives in the overflow table."""
-    seg = seg_size(arrays)
-    w_m, Wm, _, w_s = _vseg_geom(arrays)
-    row = jnp.take(arrays.bwt, s, axis=0)             # [B, Wm+Wsym] rows
-    g = _decode_static(row[:, :Wm], w_m, seg)
+    geom = _vseg_geom(arrays)
+    seg = geom.seg
+    row = jnp.take(arrays.bwt, s, axis=0)             # [B, total] rows
+    g = _decode_static(row[:, :geom.W], geom.w_main, seg)
     ovf = arrays.seg_woff[s]
     is_side = ovf > 0
     if arrays.seg_ovf.shape[0] > 1:
@@ -166,7 +215,7 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
         def with_side(g):
             side = jnp.take(arrays.seg_ovf,
                             jnp.clip(ovf, 0, n_side - 1), axis=0)
-            gs = _decode_static(side, w_s, seg)
+            gs = _decode_static(side, geom.w_side, seg)
             return jnp.where(is_side[:, None], gs, g)
 
         g = jax.lax.cond(jnp.any(is_side), with_side, lambda g: g, g)
@@ -222,7 +271,12 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
 
     The compact/packed/vseg tiers all use the uint16-relative scheme
     (measured same bytes as int8 interpolation at L1_GROUP=16, one
-    gather stream fewer per rank)."""
+    gather stream fewer per rank); vseg stores the relative row INSIDE
+    the serving row (generic callers pay one row gather here — the hot
+    paths share the row they already gathered)."""
+    if is_vseg(arrays):
+        row = jnp.take(arrays.bwt, s, axis=0)
+        return _vseg_base_from_row(arrays, row, s, c)
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
         return arrays.occ_l1[s // L1_GROUP, c] + rel
@@ -240,8 +294,8 @@ def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
     at_end = r >= n_rows_total
     s = jnp.minimum(r // seg, n_segments(arrays) - 1)
     off = r - s * seg
-    base = ckpt_base(arrays, s, cc)
     grid, is_side, row = _vseg_local_grid(arrays, s)
+    base = _vseg_base_from_row(arrays, row, s, cc)
     lq = _vseg_query_code(arrays, row, is_side, cc)
     iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
     within = jnp.sum(
@@ -419,6 +473,10 @@ def lf_step(arrays: FMArrays, r: jax.Array) -> jax.Array:
 def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """bool[B]: is row r mark-sampled?"""
     seg = seg_size(arrays)
+    if is_vseg(arrays):
+        row = jnp.take(arrays.bwt, r // seg, axis=0)
+        bit, _ = _vseg_marks_from_row(arrays, row, r)
+        return bit
     words_per_seg = seg // 32
     w = r // 32
     word = arrays.mark_bits[w // words_per_seg, w % words_per_seg]
@@ -428,6 +486,10 @@ def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
 def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """#marked rows before row r (index into mark_vals)."""
     seg = seg_size(arrays)
+    if is_vseg(arrays):
+        row = jnp.take(arrays.bwt, r // seg, axis=0)
+        _, grank = _vseg_marks_from_row(arrays, row, r)
+        return grank
     words_per_seg = seg // 32
     s = r // seg
     base = arrays.mark_ckpt[s]
@@ -460,9 +522,9 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
     off = r - s * seg
 
     if is_vseg(arrays):
-        # local-space walk step: symbol at off + its in-segment count from
-        # the same decoded grid; ONE tiny symbol-list lookup maps the hit
-        # code to global space for C/ckpt
+        # ONE-row walk step: codes, the symbol map, the occ base, the
+        # mark bit AND the mark rank all come from the same gathered row
+        # (plus the small L1 point) — 5 gather streams collapsed to 2
         grid, is_side, rowm = _vseg_local_grid(arrays, s)
         lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
         syms = _vseg_syms_from_row(arrays, rowm)
@@ -470,19 +532,21 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
         cg = jnp.take_along_axis(
             syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
         c = jnp.where(is_side, lc, cg)
-        base = ckpt_base(arrays, s, c)
+        base = _vseg_base_from_row(arrays, rowm, s, c)
         iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
         within = jnp.sum(
             (grid == lc[:, None]) & (iota < off[:, None]), axis=1
         ).astype(jnp.int32)
-    else:
-        segdata = gather_segments(arrays, s)                 # [B, SEG] int32
-        c = segdata[jnp.arange(r.shape[0]), off]
-        base = ckpt_base(arrays, s, c)                       # [B]
-        iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
-        within = jnp.sum(
-            (segdata == c[:, None]) & (iota < off[:, None]), axis=1
-        ).astype(jnp.int32)
+        bit, grank = _vseg_marks_from_row(arrays, rowm, r)
+        return arrays.C[c] + base + within, bit, grank
+
+    segdata = gather_segments(arrays, s)                 # [B, SEG] int32
+    c = segdata[jnp.arange(r.shape[0]), off]
+    base = ckpt_base(arrays, s, c)                       # [B]
+    iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
+    within = jnp.sum(
+        (segdata == c[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
     lf = arrays.C[c] + base + within
 
     words = jnp.take(arrays.mark_bits, s, axis=0)            # [B, W]

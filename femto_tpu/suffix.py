@@ -95,20 +95,31 @@ def _alpha_hist(text, *, n):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "per_key", "bits",
-                                             "nkeys"))
-def _keys_stage(codes, *, n, per_key, bits, nkeys):
+                                             "nkeys", "n_real"))
+def _keys_stage(codes, *, n, per_key, bits, nkeys, n_real=None):
     """Pack per_key dense codes (each < 2**bits, >= 1) per 30-bit key.
 
     Returns (key0, k1[, k2]) where key0[p] packs codes[p:p+per_key]
     (zero-padded past n — "past end" sorts first, matching the shorter-
     suffix-first convention) and k1/k2 are key0 at +per_key/+2*per_key.
     key0 is kept for the direct-extension epilogue.
-    """
+
+    n_real: for SHAPE-PADDED builds (trailing 0 symbols past n_real), pad
+    suffixes get distinct NEGATIVE keys -1-p — ordered shorter-first and
+    below every real key — so the initial sort resolves the entire pad
+    run instantly instead of feeding a giant tie into the doubling
+    fallback (the 0^k suffixes only differ by length, which doubling
+    needs ~log2(pad) full rounds to see: a padded tail chunk of the
+    >2^31 flagship build measured 116 s vs 1.4 s — PERF.md round 3).
+    The same encoding answers extension fetches that cross into the pad,
+    exactly like the mesh sort (parallel/dist_build._seed_keys)."""
     idx = jnp.arange(n, dtype=jnp.int32)
     key0 = jnp.zeros((n,), jnp.int32)
     for t in range(per_key):
         sym = jnp.where(idx < n - t, jnp.roll(codes, -t), 0)
         key0 = key0 | (sym << ((per_key - 1 - t) * bits))
+    if n_real is not None and n_real < n:
+        key0 = jnp.where(idx >= n_real, -1 - idx, key0)
     out = [key0]
     for q in range(1, nkeys):
         out.append(jnp.where(idx < n - q * per_key,
@@ -360,7 +371,8 @@ def _pack_rate(K: int):
 
 
 def suffix_array(text: jax.Array, payload: jax.Array | None = None,
-                 alpha: np.ndarray | None = None):
+                 alpha: np.ndarray | None = None,
+                 n_real: int | None = None):
     """Suffix array of `text` (int array of alphabet codes), as int32[n].
 
     Equivalent in contract to the reference's suffix_sort entry points
@@ -382,6 +394,11 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None,
     given, the common path costs exactly ONE scalar pull — the first
     extension round is enqueued speculatively at a static capacity M0 and
     both unresolved counts are read together.
+
+    n_real: real (unpadded) length of a shape-padded text whose tail is
+    trailing 0 symbols — pad suffixes then seed fully resolved (distinct
+    negative keys; see _keys_stage) instead of driving the sort into the
+    doubling fallback.
     """
     import os
     import sys
@@ -414,7 +431,8 @@ def suffix_array(text: jax.Array, payload: jax.Array | None = None,
     # than 3-key; the slightly larger residual goes to the extension
     # epilogue), else 3
     nkeys = 2 if 2 * per_key >= 10 else _NKEYS
-    keys = _keys_stage(codes, n=n, per_key=per_key, bits=bits, nkeys=nkeys)
+    keys = _keys_stage(codes, n=n, per_key=per_key, bits=bits, nkeys=nkeys,
+                       n_real=n_real)
     key0 = keys[0]
     span = nkeys * per_key
     perm, pull, st, m_dev = _sort3(*keys, payload, n=n)
