@@ -181,7 +181,8 @@ def main():
         f"steady total build {mb/(t_sa+t_build):.2f} MiB/s")
 
     meta = FMMeta(n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
-                  n_marks=n_marks, n_seg=int(arrays.occ_ckpt.shape[0]))
+                  n_marks=n_marks, n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
+                            else arrays.occ_ckpt.shape[0]))
     index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                     infos=[b"bench%d" % i for i in range(ndocs)])
 

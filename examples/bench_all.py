@@ -87,7 +87,8 @@ def run_config(mb: float, tier: str, locate_batches=(65536, 131072)):
         + (f" (K={alpha_used})" if alpha_used else ""))
 
     meta = FMMeta(n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
-                  n_marks=n_marks, n_seg=int(arrays.occ_ckpt.shape[0]),
+                  n_marks=n_marks, n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
+                            else arrays.occ_ckpt.shape[0]),
                   alpha_used=alpha_used)
     index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                     infos=[b"bench%d" % i for i in range(ndocs)])

@@ -163,7 +163,9 @@ def main():
         # free the build intermediates before querying
         del text, payload, sa, pull
         meta = FMMeta(n=n_c, seg=seg, mark_period=mark_period, num_docs=ndc,
-                      n_marks=int(n_marks), n_seg=int(arrays.occ_ckpt.shape[0]),
+                      n_marks=int(n_marks), n_seg=int(arrays.bwt.shape[0]
+                             if arrays.seg_nsym is not None
+                             else arrays.occ_ckpt.shape[0]),
                       alpha_used=alpha_used,
                       n_rows=n_uniform, row0=n_uniform - n_c)
         index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,

@@ -681,10 +681,10 @@ def build_fm_arrays_device(
     sort (suffix_array(text, payload=build_sa_payload(...))); skips the
     O(n) random gather entirely.
 
-    alpha: optional host array of the symbols present (supersets fine) —
-    the remapped tiers then skip the 512-wide device histogram AND its
-    host counts round-trip, computing the per-segment histogram directly
-    over K dense-code columns."""
+    alpha: optional host array covering every symbol the BWT can contain
+    (supersets fine; shape-padded builds must include the pad symbol 0) —
+    the remapped tiers then skip the device histogram's host counts
+    round-trip (measured 11 s/chunk of pipeline stall, PERF.md)."""
     from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
@@ -725,12 +725,12 @@ def build_fm_arrays_device(
     vseg_extra = {}
     if tier in ("packed", "vseg"):
         if alpha is not None:
-            # the BWT contains exactly the text symbols (every symbol is
-            # someone's preceding character on the cyclic string), plus
-            # the pad value 0 when the build is shape-padded
+            # contract: alpha covers every BWT symbol — the text symbols
+            # (each is someone's preceding character on the cyclic
+            # string), INCLUDING the pad value 0 for shape-padded builds
+            # (fmindex.build_index prepends it; only the caller knows the
+            # real unpadded length)
             used = np.asarray(alpha, np.int32)
-            if n_seg * seg > n and used[0] != 0:
-                used = np.concatenate([np.zeros(1, np.int32), used])
             per_seg_used = None
         else:
             per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)

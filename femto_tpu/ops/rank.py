@@ -67,10 +67,12 @@ def alpha_count(arrays: FMArrays) -> int:
 
 
 def map_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
-    """Alphabet code -> dense code; invalid/absent symbols -> -1."""
-    if not is_remapped(arrays):
-        return c
+    """Alphabet code -> dense code; invalid/absent symbols -> -1 (which
+    counts nothing everywhere).  The ONE place the char-validity contract
+    lives — identity tiers included."""
     ok = (c >= 0) & (c < ALPHA_SIZE)
+    if not is_remapped(arrays):
+        return jnp.where(ok, c, -1)
     return jnp.where(ok, arrays.alpha_map[jnp.where(ok, c, 0)], -1)
 
 
@@ -334,8 +336,6 @@ def occ(arrays: FMArrays, c: jax.Array, r: jax.Array) -> jax.Array:
     the index) count nothing, so padded lanes are harmless."""
     c = c.astype(jnp.int32)
     cd = map_char(arrays, c)
-    if not is_remapped(arrays):
-        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
     return _occ_dense(arrays, cd, r.astype(jnp.int32))
 
 
@@ -346,8 +346,6 @@ def backward_step_pair(arrays: FMArrays, c: jax.Array,
     This is THE central step all engines share (server.c:769-777)."""
     c = c.astype(jnp.int32)
     cd = map_char(arrays, c)
-    if not is_remapped(arrays):
-        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
     valid = cd >= 0
     base = arrays.C[jnp.where(valid, cd, 0)]
     o1 = _occ_dense(arrays, cd, first.astype(jnp.int32))
@@ -361,8 +359,6 @@ def occ2(arrays: FMArrays, c: jax.Array, r1: jax.Array, r2: jax.Array):
     alphabet space."""
     c = c.astype(jnp.int32)
     cd = map_char(arrays, c)
-    if not is_remapped(arrays):
-        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
     return (_occ_dense(arrays, cd, r1.astype(jnp.int32)),
             _occ_dense(arrays, cd, r2.astype(jnp.int32)))
 

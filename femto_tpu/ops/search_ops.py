@@ -69,8 +69,6 @@ def backward_search_shared(arrays: FMArrays, n: int, pats: jax.Array,
         active = col >= 0
         c = col.astype(jnp.int32)
         cd = R.map_char(arrays, c)
-        if not R.is_remapped(arrays):
-            cd = jnp.where((c >= 0) & (c < R.ALPHA_SIZE), c, -1)
         o1, o2 = R.occ2_shared(arrays, cd, first, last,
                                compact_cap=compact_cap)
         valid = cd >= 0

@@ -177,13 +177,24 @@ _REP_CAP = 1 << 24
 
 
 def _halo_right(x: jax.Array, H: int, axis: str) -> jax.Array:
-    """concat(x, next block's first H entries) (cyclic across the mesh)."""
+    """concat(x, the next H entries across blocks) (cyclic over the mesh).
+
+    H may exceed the block size m (tiny blocks + a wide seed span, e.g. a
+    single-symbol corpus packing 30 codes/key): whole following blocks are
+    fetched until H is covered."""
     D = jax.lax.axis_size(axis)
-    if H == 0:
-        return x
-    halo = jax.lax.ppermute(x[:H], axis,
-                            [(i, (i - 1) % D) for i in range(D)])
-    return jnp.concatenate([x, halo])
+    m = x.shape[0]
+    parts = [x]
+    need = H
+    k = 1
+    while need > 0:
+        blk = jax.lax.ppermute(x, axis,
+                               [(i, (i - k) % D) for i in range(D)])
+        take = min(m, need)
+        parts.append(blk[:take])
+        need -= take
+        k += 1
+    return jnp.concatenate(parts) if len(parts) > 1 else x
 
 
 def _group_state(st: jax.Array, axis: str, n_pad: int):
@@ -1159,7 +1170,12 @@ def build_index_sharded(
         infos=list(prepared.infos),
         header_lens_np=prepared.header_lens,
     )
-    if doc_chunks and jax.process_count() == 1:
+    if doc_chunks and jax.process_count() > 1:
+        raise ValueError(
+            "doc_chunks is host-side metadata and needs every shard "
+            "addressable; build chunk doc-lists on single-process meshes"
+        )
+    if doc_chunks:
         # per-shard chunk doc-lists (block_format.txt:105-151): each shard
         # computes its own segments' sorted unique doc ids; the host only
         # pulls the per-segment counts + the compacted list

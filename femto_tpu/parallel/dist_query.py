@@ -34,11 +34,9 @@ from .mesh import DEFAULT_AXIS
 
 
 def _map_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
-    """Alphabet char -> dense code (-1 = absent/invalid, counts nothing)."""
-    cd = R.map_char(arrays, c)
-    if not R.is_remapped(arrays):
-        cd = jnp.where((c >= 0) & (c < ALPHA_SIZE), c, -1)
-    return cd
+    """Alphabet char -> dense code (-1 = absent/invalid, counts nothing);
+    the contract lives in rank.map_char."""
+    return R.map_char(arrays, c)
 
 
 def _occ_local_dense(arrays: FMArrays, nseg_local: int, axis: str,

@@ -235,3 +235,39 @@ def test_docs_only_skips_whole_segment_locate(rng, monkeypatch):
     assert total > 500
     # edges only: at most 2 partial segments per interval
     assert sum(located_rows) < 4 * 64, (sum(located_rows), int(total))
+
+
+def test_alpha_path_matches_histogram_path(rng):
+    """Passing the host-known alphabet must produce byte-identical arrays
+    to the device-histogram path (review r3: a tautological pad guard used
+    to inflate K by a phantom 0 code on every host-alpha build)."""
+    import jax.numpy as jnp
+    from femto_tpu.ops.build_ops import (
+        build_fm_arrays_device, build_sa_payload,
+    )
+    from femto_tpu.suffix import suffix_array
+
+    docs = [bytes(rng.integers(97, 112, size=3000).astype(np.uint8))]
+    prepared = ft.prepare_documents(docs)
+    n = prepared.n
+    text = jnp.asarray(prepared.text.astype(np.int32))
+    ds = jnp.asarray(prepared.doc_starts.astype(np.int32))
+    alpha = np.nonzero(np.bincount(prepared.text, minlength=512))[0] \
+        .astype(np.int32)
+    payload = build_sa_payload(text, ds, n=n, mark_period=8, ndocs=1)
+    sa, pull = suffix_array(text, payload=payload, alpha=alpha)
+    for tier in ("packed", "vseg"):
+        a1, m1, k1 = build_fm_arrays_device(
+            text, sa, ds, n=n, seg=64, mark_period=8, ndocs=1, tier=tier,
+            pull=pull, alpha=alpha)
+        a2, m2, k2 = build_fm_arrays_device(
+            text, sa, ds, n=n, seg=64, mark_period=8, ndocs=1, tier=tier,
+            pull=pull, alpha=None)
+        assert k1 == k2, (tier, k1, k2)
+        for f in a1._fields:
+            v1, v2 = getattr(a1, f), getattr(a2, f)
+            if v1 is None:
+                assert v2 is None
+                continue
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2),
+                                          err_msg=f"{tier}.{f}")

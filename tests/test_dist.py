@@ -459,3 +459,16 @@ def test_sharded_doc_chunks(mesh, rng):
     got = range_docs(ix, f, l)
     want = range_docs(ix_plain, f, l)   # per-row locate path
     np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+def test_dist_single_symbol_corpus(mesh):
+    """A single-distinct-symbol corpus packs 30 codes/key, so the seed
+    halo spans MULTIPLE small blocks (review r3: _halo_right used to crash
+    with a shape mismatch before the doubling fallback could engage)."""
+    docs = [b"a" * 200]
+    prepared = ft.prepare_documents(docs)
+    ix = build_index_sharded(prepared, mesh, seg=32, mark_period=8)
+    packed, B = pack_patterns([pattern_to_alpha(b"aaa"), pattern_to_alpha(b"b")])
+    f, l = sharded_backward_search(ix, mesh, packed)
+    counts = (np.asarray(l) - np.asarray(f))[:B]
+    assert counts.tolist() == [naive_count(docs, b"aaa"), 0]
