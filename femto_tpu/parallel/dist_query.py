@@ -262,7 +262,8 @@ def _backward_search_routed_body(arrays: FMArrays, pats_local: jax.Array,
         return (first, last, of), None
 
     keys = jax.random.split(key, P)
-    init = jax.lax.pvary((first0, last0, jnp.int32(0)), (axis,))
+    init = jax.lax.pcast((first0, last0, jnp.int32(0)), (axis,),
+                         to='varying')
     (first, last, of), _ = jax.lax.scan(step, init, (cols, keys))
     return first, last, jax.lax.pmax(of, axis)
 
@@ -336,9 +337,10 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
         of = jnp.maximum(of, jnp.maximum(of1, of2))
         return rows, offs, done, of
 
-    offs0, done0, of0 = jax.lax.pvary(
+    offs0, done0, of0 = jax.lax.pcast(
         (jnp.full(B_local, -1, dtype=jnp.int32),
-         jnp.zeros(B_local, dtype=bool), jnp.int32(0)), (axis,))
+         jnp.zeros(B_local, dtype=bool), jnp.int32(0)), (axis,),
+        to='varying')
     _, offs, _, of = jax.lax.fori_loop(
         0, mark_period + 1, body, (rows_local, offs0, done0, of0))
     return offs, jax.lax.pmax(of, axis)
@@ -658,3 +660,29 @@ def _sharded_execute(index, mesh, node, axis):
     if isinstance(node, QWithin):
         return then_within(a, b, node.distance, ordered=False)
     raise TypeError(node)
+
+
+def sharded_docs_query(index, mesh: Mesh, query: str,
+                       with_offsets: bool = True,
+                       icase: bool = False,
+                       axis: str = DEFAULT_AXIS):
+    """find_docs against a mesh-sharded index: list of (doc_id, info,
+    offsets) — term ranges from the sharded engines, offsets from
+    sharded locate, Boolean algebra on the host (engine.docs_query
+    semantics)."""
+    from ..query.engine import apply_icase
+    from ..query.parser import parse_query
+    from ..query.results import ResultType
+
+    node = parse_query(query)
+    if icase:
+        node = apply_icase(node)
+    res = _sharded_execute(index, mesh, node, axis)
+    out = []
+    for d in res.doc_set():
+        if with_offsets and res.type == ResultType.DOC_OFFSETS:
+            offs = res.offsets[res.docs == d].tolist()
+        else:
+            offs = []
+        out.append((int(d), index.infos[int(d)], offs))
+    return out

@@ -472,3 +472,19 @@ def test_dist_single_symbol_corpus(mesh):
     f, l = sharded_backward_search(ix, mesh, packed)
     counts = (np.asarray(l) - np.asarray(f))[:B]
     assert counts.tolist() == [naive_count(docs, b"aaa"), 0]
+
+
+def test_sharded_docs_query(mesh):
+    """find_docs served from the mesh matches the single-chip engine."""
+    from femto_tpu.parallel.dist_query import sharded_docs_query
+    from femto_tpu.query.engine import docs_query
+
+    docs = [b"alpha beta gamma", b"beta delta " * 3, b"gamma alpha"]
+    prepared = ft.prepare_documents(docs)
+    ix = build_index_sharded(prepared, mesh, seg=32, mark_period=8)
+    ix1 = ft.build_index(prepared, seg=32, mark_period=8)
+    for q in ["'beta'", "'alpha' AND 'gamma'", "be(ta|da)"]:
+        got = sharded_docs_query(ix, mesh, q)
+        want = docs_query(ix1, q)
+        assert [(d, i, sorted(o)) for d, i, o in got] == \
+            [(d, i, sorted(o)) for d, i, o in want], q
