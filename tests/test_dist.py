@@ -488,3 +488,28 @@ def test_sharded_docs_query(mesh):
         want = docs_query(ix1, q)
         assert [(d, i, sorted(o)) for d, i, o in got] == \
             [(d, i, sorted(o)) for d, i, o in want], q
+
+
+def test_sharded_rejects_vseg(mesh):
+    """The vseg serving layout is single-chip/chunked; pointing the mesh
+    query path at one must fail loudly, not mis-shard."""
+    docs = [b"alpha beta gamma " * 20]
+    prepared = ft.prepare_documents(docs)
+    ix = ft.build_index(prepared, seg=32, mark_period=8, tier="vseg")
+    packed, _ = pack_patterns([pattern_to_alpha(b"beta")])
+    with pytest.raises(ValueError, match="vseg"):
+        sharded_backward_search(ix, mesh, packed)
+
+
+def test_sharded_approx_query(mesh):
+    """APPROX (edit-distance) terms run through the sharded frontier with
+    cost vectors intact."""
+    from femto_tpu.parallel.dist_query import sharded_count_query
+    from femto_tpu.query.engine import count_query
+
+    docs = [b"the quick brown fox", b"quik quack quicck " * 3]
+    prepared = ft.prepare_documents(docs)
+    ix = build_index_sharded(prepared, mesh, seg=32, mark_period=8)
+    ix1 = ft.build_index(prepared, seg=32, mark_period=8)
+    for q in ["APPROX 1 quick", "APPROX 1:2:1:2 quicck"]:
+        assert sharded_count_query(ix, mesh, q) == count_query(ix1, q), q
