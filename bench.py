@@ -83,6 +83,7 @@ def main():
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
     from femto_tpu.fmindex import FMIndex, FMMeta
     from femto_tpu.ops.build_ops import build_fm_arrays_device, build_sa_payload
+    from femto_tpu.ops.rank import n_segments as R_n_segments
     from femto_tpu.ops.search_ops import (
         backward_search, backward_search_shared, locate_rows,
         locate_rows_pyramid,
@@ -181,8 +182,7 @@ def main():
         f"steady total build {mb/(t_sa+t_build):.2f} MiB/s")
 
     meta = FMMeta(n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
-                  n_marks=n_marks, n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
-                            else arrays.occ_ckpt.shape[0]))
+                  n_marks=n_marks, n_seg=int(R_n_segments(arrays)))
     index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                     infos=[b"bench%d" % i for i in range(ndocs)])
 

@@ -25,6 +25,7 @@ def run_config(mb: float, tier: str, locate_batches=(65536, 131072)):
     from femto_tpu.alphabet import CHARACTER_OFFSET, SEOF
     from femto_tpu.fmindex import FMIndex, FMMeta
     from femto_tpu.ops.build_ops import build_fm_arrays_device
+    from femto_tpu.ops.rank import n_segments as R_n_segments
     from femto_tpu.ops.search_ops import backward_search, locate_rows
 
     B, P = 32768, 16
@@ -87,8 +88,7 @@ def run_config(mb: float, tier: str, locate_batches=(65536, 131072)):
         + (f" (K={alpha_used})" if alpha_used else ""))
 
     meta = FMMeta(n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
-                  n_marks=n_marks, n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
-                            else arrays.occ_ckpt.shape[0]),
+                  n_marks=n_marks, n_seg=int(R_n_segments(arrays)),
                   alpha_used=alpha_used)
     index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                     infos=[b"bench%d" % i for i in range(ndocs)])

@@ -43,6 +43,7 @@ def main():
         build_fm_arrays_device,
         build_sa_payload,
     )
+    from femto_tpu.ops.rank import n_segments as R_n_segments
 
     doc_log2 = int(os.environ.get("BIG_DOC_LOG2", "24"))
     doc_size = 1 << doc_log2
@@ -163,9 +164,7 @@ def main():
         # free the build intermediates before querying
         del text, payload, sa, pull
         meta = FMMeta(n=n_c, seg=seg, mark_period=mark_period, num_docs=ndc,
-                      n_marks=int(n_marks), n_seg=int(arrays.bwt.shape[0]
-                             if arrays.seg_nsym is not None
-                             else arrays.occ_ckpt.shape[0]),
+                      n_marks=int(n_marks), n_seg=int(R_n_segments(arrays)),
                       alpha_used=alpha_used,
                       n_rows=n_uniform, row0=n_uniform - n_c)
         index = FMIndex(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,

@@ -270,6 +270,7 @@ class FMIndex:
             sa_direct = (jnp.asarray(z["sa_direct"])
                          if "sa_direct" in z.files else None)
             arrays = FMArrays(**{k: jnp.asarray(v) for k, v in vals.items()})
+        _check_layout(arrays)
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np,
                    chunk_doc_offsets_np=cdo, chunk_docs_np=cdv,
@@ -387,10 +388,23 @@ class FMIndex:
                      if "sa_direct" in arrs else None)
         arrays = FMArrays(**{k: jnp.asarray(arrs[k]) for k in FMArrays._fields
                              if k in arrs})
+        _check_layout(arrays)
         return cls(arrays=arrays, meta=meta, doc_starts_np=doc_starts_np,
                    infos=infos, header_lens_np=header_lens_np,
                    chunk_doc_offsets_np=cdo, chunk_docs_np=cdv,
                    sa_direct=sa_direct)
+
+
+def _check_layout(arrays: "FMArrays") -> None:
+    """Reject index files from obsolete array layouts with a clear error
+    (the vseg tier's layout changed during round 3: seg_w removed,
+    seg_ovf/one-row serving format added)."""
+    if arrays.seg_nsym is not None and (
+            arrays.seg_ovf is None or arrays.bwt.ndim != 2):
+        raise ValueError(
+            "this vseg index uses an obsolete on-disk layout; rebuild it "
+            "with the current version (tier='vseg')"
+        )
 
 
 def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
@@ -610,6 +624,7 @@ def build_index(
         from .ops.build_ops import (
             _FUSE_DOC_LIMIT, build_fm_arrays_device, build_sa_payload,
         )
+        from .ops.rank import n_segments
 
         doc_starts_np32 = prepared.doc_starts.astype(np.int32)
         if ndocs_build > prepared.num_docs:
@@ -682,8 +697,7 @@ def build_index(
             mark_period=mark_period,
             num_docs=prepared.num_docs,
             n_marks=int(n_marks),
-            n_seg=int(arrays.bwt.shape[0] if arrays.seg_nsym is not None
-                      else arrays.occ_ckpt.shape[0]),
+            n_seg=n_segments(arrays),
             alpha_used=alpha_used,
             n_rows=n_build,
             row0=n_build - n,

@@ -195,11 +195,8 @@ def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
 
 VSEG_SMAX = 32  # per-segment symbol-list capacity; K_s > SMAX -> identity
 
-_map_codes = jax.jit(lambda bwt_chars, amap: amap[bwt_chars])
 _to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
 _to_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
-_to_i8 = jax.jit(lambda x: x.astype(jnp.int8))
-_to_i16 = jax.jit(lambda x: x.astype(jnp.int16))
 
 
 @functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
@@ -730,7 +727,7 @@ def build_fm_arrays_device(
             # string), INCLUDING the pad value 0 for shape-padded builds
             # (fmindex.build_index prepends it; only the caller knows the
             # real unpadded length)
-            used = np.asarray(alpha, np.int32)
+            used = np.unique(np.asarray(alpha, np.int32))
             per_seg_used = None
         else:
             per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)

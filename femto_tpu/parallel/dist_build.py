@@ -188,10 +188,11 @@ def _halo_right(x: jax.Array, H: int, axis: str) -> jax.Array:
     need = H
     k = 1
     while need > 0:
-        blk = jax.lax.ppermute(x, axis,
-                               [(i, (i - k) % D) for i in range(D)])
         take = min(m, need)
-        parts.append(blk[:take])
+        # slice BEFORE permuting: ship only the bytes the halo needs
+        blk = jax.lax.ppermute(x[:take], axis,
+                               [(i, (i - k) % D) for i in range(D)])
+        parts.append(blk)
         need -= take
         k += 1
     return jnp.concatenate(parts) if len(parts) > 1 else x

@@ -614,15 +614,29 @@ def sharded_count_query(index, mesh: Mesh, query: str,
     return len(res.doc_set())
 
 
-def _sharded_locate_docs(index, mesh, iv, axis):
-    """(docs, offsets) for a union of row intervals, via sharded locate."""
+# Boolean operands must be evaluated in full, but unbounded terms (e.g.
+# single-letter patterns on a >2^31 corpus) cannot be host-materialized
+# row-by-row: cap each term like the single-chip engine
+# (engine.BOOLEAN_TERM_CAP).
+SHARDED_TERM_CAP = 1_000_000
+
+
+def _sharded_locate_docs(index, mesh, iv, axis, cap=SHARDED_TERM_CAP):
+    """(docs, offsets) for a union of row intervals, via sharded locate;
+    at most `cap` rows are materialized/located (truncation mirrors the
+    single-chip engine's Boolean term cap)."""
     from ..search import offsets_to_docs
 
     D = mesh.devices.size
-    rows = np.concatenate(
-        [np.arange(f, l, dtype=np.int32) for f, l in iv]
-        or [np.zeros(0, np.int32)]
-    )
+    parts = []
+    budget = cap
+    for f, l in iv:
+        take = min(l - f, budget)
+        if take <= 0:
+            break
+        parts.append(np.arange(f, f + take, dtype=np.int32))
+        budget -= take
+    rows = np.concatenate(parts or [np.zeros(0, np.int32)])
     if rows.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     pad = (-len(rows)) % D
@@ -665,11 +679,14 @@ def _sharded_execute(index, mesh, node, axis):
 def sharded_docs_query(index, mesh: Mesh, query: str,
                        with_offsets: bool = True,
                        icase: bool = False,
+                       max_matches: int = None,
                        axis: str = DEFAULT_AXIS):
     """find_docs against a mesh-sharded index: list of (doc_id, info,
     offsets) — term ranges from the sharded engines, offsets from
     sharded locate, Boolean algebra on the host (engine.docs_query
-    semantics)."""
+    semantics).  Each term materializes at most SHARDED_TERM_CAP rows
+    (the single-chip engine's Boolean cap); max_matches limits the
+    returned docs."""
     from ..query.engine import apply_icase
     from ..query.parser import parse_query
     from ..query.results import ResultType
@@ -685,4 +702,6 @@ def sharded_docs_query(index, mesh: Mesh, query: str,
         else:
             offs = []
         out.append((int(d), index.infos[int(d)], offs))
+        if max_matches is not None and len(out) >= max_matches:
+            break
     return out
