@@ -95,7 +95,7 @@ def cmd_index(args) -> int:
 def cmd_search(args) -> int:
     """Search one or more indexes (comma-separated paths fan the query
     across them, like the reference's femto_search index list)."""
-    from .query.engine import count_query, docs_query, find_strings
+    from .query.engine import count_query, find_strings
 
     paths = args.index.split(",")
     loaded_single = _load_index(paths[0]) if len(paths) == 1 else None
@@ -168,8 +168,14 @@ def cmd_search(args) -> int:
             else:
                 print(f"{c} {query}")
         else:
-            rows = docs_query(index, query, max_matches=args.max_results,
-                              with_offsets=args.offsets, icase=args.icase)
+            from .query.engine import docs_query_ex
+
+            rows, truncated = docs_query_ex(
+                index, query, max_matches=args.max_results,
+                with_offsets=args.offsets, icase=args.icase)
+            if truncated:
+                print(f"warning: query {query!r} hit the Boolean term "
+                      "cap; results may be incomplete", file=sys.stderr)
             if args.json:
                 out_json.append({
                     "query": query,
@@ -178,6 +184,7 @@ def cmd_search(args) -> int:
                          **({"offsets": offsets} if args.offsets else {})}
                         for _, info, offsets in rows
                     ],
+                    **({"truncated": True} if truncated else {}),
                 })
             else:
                 for doc, info, offsets in rows:

@@ -9,6 +9,7 @@ nodes combine Results sets.
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -144,7 +145,25 @@ def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
         offs = np.zeros(0, np.int64)
     res = Results.from_doc_offsets(docs, offs)
     res.count = total
+    # fewer rows materialized than matched: the doc/offset lists are
+    # incomplete (reference semantics are full result sets,
+    # results.h:115-121 — truncation must be SURFACED, never silent)
+    res.truncated = max_matches is not None and total > max_matches
     return res
+
+
+class TruncationWarning(UserWarning):
+    """A Boolean term exceeded the materialization cap: the query's
+    document set may be incomplete."""
+
+
+def _warn_truncated(res: Results, query: str) -> None:
+    if res.truncated:
+        warnings.warn(
+            f"query {query!r}: a term exceeded the Boolean materialization "
+            f"cap ({BOOLEAN_TERM_CAP} rows); results may be incomplete",
+            TruncationWarning, stacklevel=3,
+        )
 
 
 # Boolean operands must be evaluated in full (truncating a term's doc list
@@ -191,14 +210,18 @@ def count_query(index: FMIndex, query: str, icase: bool = False) -> int:
         )
         return sum(l - f for f, l in iv)
     res = execute(index, node)
+    _warn_truncated(res, query)
     return len(res.doc_set())
 
 
-def docs_query(index: FMIndex, query: str,
-               max_matches: Optional[int] = None,
-               with_offsets: bool = True,
-               icase: bool = False):
-    """find_docs: list of (doc_id, info, offsets) matching the query."""
+def docs_query_ex(index: FMIndex, query: str,
+                  max_matches: Optional[int] = None,
+                  with_offsets: bool = True,
+                  icase: bool = False):
+    """find_docs returning (rows, truncated): truncated=True means a
+    Boolean term hit the materialization cap and the doc set may be
+    incomplete (a top-level term limited by the CALLER's max_matches is
+    not flagged — that truncation was requested)."""
     node = parse_query(query)
     if icase:
         node = apply_icase(node)
@@ -213,4 +236,22 @@ def docs_query(index: FMIndex, query: str,
         out.append((int(d), index.infos[int(d)], offs))
         if max_matches is not None and len(out) >= max_matches:
             break
+    truncated = res.truncated and not isinstance(node, QTerm)
+    return out, truncated
+
+
+def docs_query(index: FMIndex, query: str,
+               max_matches: Optional[int] = None,
+               with_offsets: bool = True,
+               icase: bool = False):
+    """find_docs: list of (doc_id, info, offsets) matching the query.
+    Warns (TruncationWarning) when a Boolean term hit the cap."""
+    out, truncated = docs_query_ex(index, query, max_matches=max_matches,
+                                   with_offsets=with_offsets, icase=icase)
+    if truncated:
+        warnings.warn(
+            f"query {query!r}: a term exceeded the Boolean materialization "
+            f"cap ({BOOLEAN_TERM_CAP} rows); results may be incomplete",
+            TruncationWarning, stacklevel=2,
+        )
     return out

@@ -41,6 +41,13 @@ class Results:
     offsets: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int64)
     )
+    # True when a term's materialized rows were capped (engine
+    # BOOLEAN_TERM_CAP / sharded SHARDED_TERM_CAP): the doc/offset lists
+    # may be incomplete.  The reference materializes full result sets
+    # (results.h:115-121), so truncation here must never be silent —
+    # combinators propagate the flag and the query entry points surface
+    # it (warning + "truncated" in server JSON).
+    truncated: bool = False
 
     @classmethod
     def from_doc_offsets(cls, docs, offsets) -> "Results":
@@ -67,14 +74,20 @@ class Results:
         return np.unique(self.docs)
 
 
+def _carry(out: Results, a: Results, b: Results) -> Results:
+    out.truncated = a.truncated or b.truncated
+    return out
+
+
 def union(a: Results, b: Results) -> Results:
     if a.type == ResultType.DOC_OFFSETS and b.type == ResultType.DOC_OFFSETS:
         docs = np.concatenate([a.docs, b.docs])
         offs = np.concatenate([a.offsets, b.offsets])
         keys = np.stack([docs, offs], axis=1)
         uniq, idx = np.unique(keys, axis=0, return_index=True)
-        return Results.from_doc_offsets(docs[idx], offs[idx])
-    return Results.from_docs(np.concatenate([a.doc_set(), b.doc_set()]))
+        return _carry(Results.from_doc_offsets(docs[idx], offs[idx]), a, b)
+    return _carry(
+        Results.from_docs(np.concatenate([a.doc_set(), b.doc_set()])), a, b)
 
 
 def intersect(a: Results, b: Results) -> Results:
@@ -82,8 +95,9 @@ def intersect(a: Results, b: Results) -> Results:
     common = np.intersect1d(a.doc_set(), b.doc_set())
     if a.type == ResultType.DOC_OFFSETS:
         keep = np.isin(a.docs, common)
-        return Results.from_doc_offsets(a.docs[keep], a.offsets[keep])
-    return Results.from_docs(common)
+        return _carry(
+            Results.from_doc_offsets(a.docs[keep], a.offsets[keep]), a, b)
+    return _carry(Results.from_docs(common), a, b)
 
 
 def subtract(a: Results, b: Results) -> Results:
@@ -91,8 +105,9 @@ def subtract(a: Results, b: Results) -> Results:
     keepdocs = np.setdiff1d(a.doc_set(), b.doc_set())
     if a.type == ResultType.DOC_OFFSETS:
         keep = np.isin(a.docs, keepdocs)
-        return Results.from_doc_offsets(a.docs[keep], a.offsets[keep])
-    return Results.from_docs(keepdocs)
+        return _carry(
+            Results.from_doc_offsets(a.docs[keep], a.offsets[keep]), a, b)
+    return _carry(Results.from_docs(keepdocs), a, b)
 
 
 def then_within(
@@ -105,9 +120,9 @@ def then_within(
     if a.type != ResultType.DOC_OFFSETS or b.type != ResultType.DOC_OFFSETS:
         raise ValueError("THEN/WITHIN need offset results")
     if len(a.docs) == 0 or len(b.docs) == 0:
-        return Results.from_doc_offsets(
+        return _carry(Results.from_doc_offsets(
             np.zeros(0, np.int64), np.zeros(0, np.int64)
-        )
+        ), a, b)
     # Vectorized window join: b is sorted by (doc, offset), so an a-match
     # (doc, off) has a partner iff the composite-key interval
     # [key(doc, off+lo), key(doc, off+hi)] is non-empty in b.
@@ -138,4 +153,5 @@ def then_within(
                 np.searchsorted(bo, offs + hi_delta, side="right")
                 > np.searchsorted(bo, np.maximum(offs + lo_delta, 0), "left")
             )
-    return Results.from_doc_offsets(a.docs[keep], a.offsets[keep])
+    return _carry(
+        Results.from_doc_offsets(a.docs[keep], a.offsets[keep]), a, b)

@@ -207,7 +207,8 @@ class FemtoServer:
         max_matches = int(parts[0])
         with_offsets = parts[1] == "1"
         pattern = parts[2]
-        rows = self._find_docs_rows(pattern, max_matches, with_offsets)
+        rows, truncated = self._find_docs_rows(
+            pattern, max_matches, with_offsets)
         return json.dumps({
             "results": [
                 {
@@ -215,7 +216,10 @@ class FemtoServer:
                     **({"offsets": offs} if with_offsets else {}),
                 }
                 for _, info, offs in rows
-            ]
+            ],
+            # a Boolean term hit the materialization cap: doc set may be
+            # incomplete (engine.TruncationWarning)
+            **({"truncated": True} if truncated else {}),
         })
 
     def _find_docs_rows(self, pattern: str, max_matches: int,
@@ -233,10 +237,10 @@ class FemtoServer:
         if isinstance(node, QTerm) and node.approx.cost_bound <= 1:
             lit = as_literal(streamline(node.regexp))
         if lit is None:
-            from ..query.engine import docs_query
+            from ..query.engine import docs_query_ex
 
-            return docs_query(self.index, pattern, max_matches=cap,
-                              with_offsets=with_offsets)
+            return docs_query_ex(self.index, pattern, max_matches=cap,
+                                 with_offsets=with_offsets)
         first, last = self.counter.count(lit)
         m = last - first if cap is None else min(last - first, cap)
         offs = self.counter.locate(
@@ -248,7 +252,7 @@ class FemtoServer:
         return [
             (d, self.index.infos[d], sorted(o))
             for d, o in sorted(per_doc.items())
-        ]
+        ], False
 
     def _docs_for_range(self, rest: str) -> str:
         parts = rest.split()

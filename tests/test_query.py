@@ -254,3 +254,39 @@ def test_subsumption_prune(corpus):
     ])
     assert [(m.first, m.last, m.cost) for m in out] == \
         [(10, 20, 0), (25, 30, 2)]
+
+
+def test_boolean_truncation_flagged(corpus, monkeypatch):
+    """A Boolean term whose row count exceeds the materialization cap must
+    flag truncation (Results.truncated + TruncationWarning) — reference
+    semantics are full result sets (results.h:115-121), so wrongness is
+    never silent."""
+    import warnings
+
+    from femto_tpu.query import engine
+
+    docs, index = corpus
+    # every doc contains 'a'; cap below the total 'a' rows
+    total_a = count_query(index, "a")
+    assert total_a > 4
+    monkeypatch.setattr(engine, "BOOLEAN_TERM_CAP", 4)
+    node = parse_query("a AND b")
+    res = engine.execute(index, node)
+    assert res.truncated
+    with pytest.warns(engine.TruncationWarning):
+        engine.count_query(index, "a AND b")
+    with pytest.warns(engine.TruncationWarning):
+        engine.docs_query(index, "a AND b")
+    rows, truncated = engine.docs_query_ex(index, "a AND b")
+    assert truncated
+    # an untruncated Boolean stays clean
+    monkeypatch.setattr(engine, "BOOLEAN_TERM_CAP", 1_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        engine.count_query(index, "black AND sheep")
+    # a top-level term limited by the CALLER's max_matches is requested
+    # truncation, not an incomplete Boolean: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows, truncated = engine.docs_query_ex(index, "a", max_matches=2)
+    assert not truncated
