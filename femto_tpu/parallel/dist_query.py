@@ -30,13 +30,31 @@ from .mesh import DEFAULT_AXIS
 # ckpt_base/gather_segments dispatch with SHARD-LOCAL segment ids, so a
 # shard's arrays behave exactly like a small single-device index whose
 # checkpoints carry the global base (_package_shard lays them out that
-# way).  full / compact / packed sharded tiers all serve queries.
+# way).  full / compact / packed / vseg sharded tiers all serve queries;
+# the vseg (compressed) tier gets fused one-row-gather branches below
+# (its codes, symbol list, occ checkpoint, and mark info all ride one
+# serving row — _package_shard_vseg).
 
 
 def _map_char(arrays: FMArrays, c: jax.Array) -> jax.Array:
     """Alphabet char -> dense code (-1 = absent/invalid, counts nothing);
     the contract lives in rank.map_char."""
     return R.map_char(arrays, c)
+
+
+def _vseg_local_occ(arrays: FMArrays, sl: jax.Array, cc: jax.Array,
+                    off: jax.Array) -> jax.Array:
+    """occ base + in-segment count for dense code cc at shard-LOCAL
+    segment sl, row offset off — ONE main-row gather (the sharded twin of
+    rank._occ_dense_vseg's hot path; occ_l1 rows carry the global base)."""
+    grid, is_side, row = R._vseg_local_grid(arrays, sl)
+    base = R._vseg_base_from_row(arrays, row, sl, cc)
+    lq = R._vseg_query_code(arrays, row, is_side, cc)
+    iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
+    within = jnp.sum(
+        (grid == lq[:, None]) & (iota < off[:, None]), axis=1
+    ).astype(jnp.int32)
+    return base + within
 
 
 def _occ_local_dense(arrays: FMArrays, nseg_local: int, axis: str,
@@ -57,13 +75,17 @@ def _occ_local_dense(arrays: FMArrays, nseg_local: int, axis: str,
     mine = valid & (~at_end) & (sl >= 0) & (sl < nseg_local)
     sl = jnp.where(mine, sl, 0)
     off = r - s * seg
+    total = arrays.C[cc + 1] - arrays.C[cc]
+    if R.is_vseg(arrays):
+        v = _vseg_local_occ(arrays, sl, cc, off)
+        return (jnp.where(mine, v, 0)
+                + jnp.where(at_end & (me == 0), total, 0))
     base = R.ckpt_base(arrays, sl, cc)
     segdata = R.gather_segments(arrays, sl)
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == cc[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
-    total = arrays.C[cc + 1] - arrays.C[cc]
     return (jnp.where(mine, base + within, 0)
             + jnp.where(at_end & (me == 0), total, 0))
 
@@ -144,6 +166,18 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
         sl = s - me * nseg_local
         mine = (sl >= 0) & (sl < nseg_local)
         sl = jnp.where(mine, sl, 0)
+        if R.is_vseg(arrays):
+            # mark words + GLOBAL-base mark ckpt ride the serving row;
+            # the shard's mark_vals slot is grank - mark base
+            # (mark_ckpt[0] carries the base, _package_shard_vseg)
+            row = jnp.take(arrays.bwt, sl, axis=0)
+            bit, grank = R._vseg_marks_from_row(arrays, row, r)
+            is_m = jax.lax.psum(
+                jnp.where(mine, bit.astype(jnp.int32), 0), axis) > 0
+            lrank = jnp.clip(grank - arrays.mark_ckpt[0], 0, mv_local - 1)
+            v = arrays.mark_vals[lrank]
+            mv = jax.lax.psum(jnp.where(mine, v, 0), axis)
+            return is_m, mv
         words = jnp.take(arrays.mark_bits, sl, axis=0)
         w_local = (r % seg) // 32
         widx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
@@ -197,13 +231,16 @@ def _occ_owner_compute(arrays: FMArrays, nseg_local: int, axis: str,
     s = rows // seg
     sl = jnp.clip(s - me * nseg_local, 0, nseg_local - 1)
     off = rows - s * seg
+    total = arrays.C[c + 1] - arrays.C[c]
+    if R.is_vseg(arrays):
+        v = _vseg_local_occ(arrays, sl, c, off)
+        return jnp.where(valid, jnp.where(at_end, total, v), 0)
     base = R.ckpt_base(arrays, sl, c)
     segdata = R.gather_segments(arrays, sl)
     iota = jax.lax.broadcasted_iota(jnp.int32, segdata.shape, 1)
     within = jnp.sum(
         (segdata == c[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
-    total = arrays.C[c + 1] - arrays.C[c]
     return jnp.where(valid, jnp.where(at_end, total, base + within), 0)
 
 
@@ -290,6 +327,28 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
                      me * nseg_local + nseg_local - 1)
         sl = s - me * nseg_local
         off = r - s * seg
+        if R.is_vseg(arrays):
+            # fused one-row walk step (rank.lf_grank_step's vseg path with
+            # shard-local ids): codes, symbol map, occ base, mark bit and
+            # GLOBAL mark rank all from the same gathered serving row
+            grid, is_side, rowm = R._vseg_local_grid(arrays, sl)
+            offc = jnp.clip(off, 0, seg - 1)
+            lc = jnp.take_along_axis(grid, offc[:, None], axis=1)[:, 0]
+            syms = R._vseg_syms_from_row(arrays, rowm)
+            SMAX = syms.shape[1]
+            cg = jnp.take_along_axis(
+                syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
+            c = jnp.where(is_side, lc, cg)
+            base = R._vseg_base_from_row(arrays, rowm, sl, c)
+            iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
+            within = jnp.sum(
+                (grid == lc[:, None]) & (iota < off[:, None]), axis=1
+            ).astype(jnp.int32)
+            lf = arrays.C[c] + base + within
+            bit, grank = R._vseg_marks_from_row(arrays, rowm, r)
+            mv = arrays.mark_vals[jnp.clip(grank - arrays.mark_ckpt[0],
+                                           0, mv_local - 1)]
+            return lf, bit, mv
         segdata = R.gather_segments(arrays, sl)
         c = segdata[jnp.arange(r.shape[0]), jnp.clip(off, 0, seg - 1)]
         base = R.ckpt_base(arrays, sl, c)
@@ -348,11 +407,28 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
 
 def _specs_for_arrays(axis: str, arrays: FMArrays = None):
     """PartitionSpecs matching build_index_sharded's placement (occ_l1 is
-    sharded for the compact/packed tiers, a replicated dummy for full)."""
+    sharded for the compact/packed/vseg tiers, a replicated dummy for
+    full).  The vseg tier shards its serving rows + overflow side table +
+    per-segment side arrays; its occ_ckpt/mark_bits/seg_syms are 1-row
+    dtype/shape markers (replicated) and mark_ckpt is the [D] per-shard
+    global mark base (_package_shard_vseg)."""
     if arrays is not None and R.is_vseg(arrays):
-        raise ValueError(
-            "the vseg tier is a single-chip/chunked serving layout; build "
-            "sharded indexes with tier='packed' for mesh queries"
+        return FMArrays(
+            bwt=P(axis, None),
+            occ_ckpt=P(),
+            occ_l1=P(axis, None),
+            C=P(),
+            mark_bits=P(),
+            mark_ckpt=P(axis),
+            mark_vals=P(axis),
+            doc_starts=P(),
+            doc_seof_rows=P(),
+            alpha_map=P(),
+            alpha_rev=P(),
+            seg_ovf=P(axis, None),
+            seg_nsym=P(axis),
+            seg_woff=P(axis),
+            seg_syms=P(),
         )
     l1_spec = P()
     if arrays is not None and arrays.occ_l1.shape[0] > 1:
@@ -611,6 +687,9 @@ def sharded_count_query(index, mesh: Mesh, query: str,
         )
         return sum(l - f for f, l in iv)
     res = _sharded_execute(index, mesh, node, axis)
+    from ..query.engine import _warn_truncated
+
+    _warn_truncated(res, query)
     return len(res.doc_set())
 
 
@@ -621,13 +700,18 @@ def sharded_count_query(index, mesh: Mesh, query: str,
 SHARDED_TERM_CAP = 1_000_000
 
 
-def _sharded_locate_docs(index, mesh, iv, axis, cap=SHARDED_TERM_CAP):
-    """(docs, offsets) for a union of row intervals, via sharded locate;
-    at most `cap` rows are materialized/located (truncation mirrors the
-    single-chip engine's Boolean term cap)."""
+def _sharded_locate_docs(index, mesh, iv, axis, cap=None):
+    """(docs, offsets, truncated) for a union of row intervals, via sharded
+    locate; at most `cap` rows are materialized/located (truncation mirrors
+    the single-chip engine's Boolean term cap and is FLAGGED — reference
+    semantics are full result sets, results.h:115-121)."""
     from ..search import offsets_to_docs
 
+    if cap is None:
+        cap = SHARDED_TERM_CAP
     D = mesh.devices.size
+    total = sum(l - f for f, l in iv)
+    truncated = total > cap
     parts = []
     budget = cap
     for f, l in iv:
@@ -638,11 +722,12 @@ def _sharded_locate_docs(index, mesh, iv, axis, cap=SHARDED_TERM_CAP):
         budget -= take
     rows = np.concatenate(parts or [np.zeros(0, np.int32)])
     if rows.size == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), truncated
     pad = (-len(rows)) % D
     rowsp = np.concatenate([rows, np.full(pad, rows[0], np.int32)])
     offs = np.asarray(sharded_locate(index, mesh, rowsp, axis))[:len(rows)]
-    return offsets_to_docs(index, offs.astype(np.int64))
+    docs, offs = offsets_to_docs(index, offs.astype(np.int64))
+    return docs, offs, truncated
 
 
 def _sharded_execute(index, mesh, node, axis):
@@ -657,9 +742,10 @@ def _sharded_execute(index, mesh, node, axis):
     if isinstance(node, QTerm):
         ranges = sharded_term_ranges(index, mesh, node, axis)
         iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
-        docs, offs = _sharded_locate_docs(index, mesh, iv, axis)
+        docs, offs, truncated = _sharded_locate_docs(index, mesh, iv, axis)
         res = Results.from_doc_offsets(docs, offs)
         res.count = sum(l - f for f, l in iv)
+        res.truncated = truncated
         return res
     a = _sharded_execute(index, mesh, node.left, axis)
     b = _sharded_execute(index, mesh, node.right, axis)
@@ -695,6 +781,9 @@ def sharded_docs_query(index, mesh: Mesh, query: str,
     if icase:
         node = apply_icase(node)
     res = _sharded_execute(index, mesh, node, axis)
+    from ..query.engine import _warn_truncated
+
+    _warn_truncated(res, query)
     out = []
     for d in res.doc_set():
         if with_offsets and res.type == ResultType.DOC_OFFSETS:
