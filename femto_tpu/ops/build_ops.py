@@ -305,6 +305,42 @@ def _vseg_width_for(seg: int, w: int):
     return 32 // per_word, W
 
 
+def vseg_width_candidates(seg: int):
+    """Deduped (w_eff, W) candidate main widths for the vseg tier."""
+    out, seen = [], set()
+    for w in (1, 2, 3, 4, 5):
+        w_eff, W = _vseg_width_for(seg, w)
+        if W not in seen:
+            seen.add(W)
+            out.append((w_eff, W))
+    return out
+
+
+def _vseg_sym_words(syms_i32, wide: bool):
+    """Pack the per-segment sorted symbol lists int32[n_seg, SMAX] into
+    uint32 row words (pads -> dtype max: never below a real code)."""
+    n_seg, SMAX = syms_i32.shape
+    per = 2 if wide else 4
+    shift_unit = 32 // per
+    symsv = jnp.minimum(syms_i32, 0xFFFF if wide else 0xFF).astype(
+        jnp.uint32)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(shift_unit))
+    return jnp.sum(
+        symsv.reshape(n_seg, SMAX // per, per) << shifts[None, None, :],
+        axis=2, dtype=jnp.uint32)
+
+
+def _vseg_rel_words(occ_rel):
+    """Pack uint16-relative occ checkpoint rows [n_seg, K] into uint32
+    pair words [n_seg, ceil(K/2)]."""
+    n_seg, Kd = occ_rel.shape
+    relw = occ_rel.astype(jnp.uint32)
+    if Kd % 2:
+        relw = jnp.concatenate(
+            [relw, jnp.zeros((n_seg, 1), jnp.uint32)], axis=1)
+    return relw[:, 0::2] | (relw[:, 1::2] << 16)
+
+
 def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
                 *, n, n_seg, seg):
     """Assemble the vseg v2 tier arrays.
@@ -348,12 +384,7 @@ def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     nsym_np = np.asarray(nsym_i32)                     # [n_seg] tiny pull
 
     best = None
-    seen_W = set()
-    for w in (1, 2, 3, 4, 5):
-        w_eff, Wm = _vseg_width_for(seg, w)
-        if Wm in seen_W:
-            continue
-        seen_W.add(Wm)
+    for w_eff, Wm in vseg_width_candidates(seg):
         cov = (nsym_np <= (1 << w_eff)) & (nsym_np < 255)
         bytes_w = n_seg * Wm * 4 + int((~cov).sum()) * Wside * 4
         if best is None or bytes_w < best[0]:
@@ -362,23 +393,11 @@ def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     bwt_main = _vseg_pack_uniform(codes2d, syms_i32, nsym_i32, seg=seg,
                                   w=w_main, SMAX=VSEG_SMAX, side=False)
     # append the packed symbol list to each row (pads -> dtype max, which
-    # never compares below a real code)
-    per = 2 if wide else 4
-    shift_unit = 32 // per
-    symsv = jnp.minimum(syms_i32, 0xFFFF if wide else 0xFF).astype(
-        jnp.uint32)
-    shifts = (jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(shift_unit))
-    sym_words = jnp.sum(
-        symsv.reshape(n_seg, VSEG_SMAX // per, per) << shifts[None, None, :],
-        axis=2, dtype=jnp.uint32)
-    # mark words + mark-rank checkpoint + packed uint16 relative ckpts
+    # never compares below a real code), then the mark words, the
+    # mark-rank checkpoint, and the packed uint16 relative ckpts
+    sym_words = _vseg_sym_words(syms_i32, wide)
     mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
-    Kd = per_seg_used.shape[1]
-    relw = occ_ckpt.astype(jnp.uint32)
-    if Kd % 2:
-        relw = jnp.concatenate(
-            [relw, jnp.zeros((n_seg, 1), jnp.uint32)], axis=1)
-    rel_words = relw[:, 0::2] | (relw[:, 1::2] << 16)
+    rel_words = _vseg_rel_words(occ_ckpt)
     bwt_main = jnp.concatenate(
         [bwt_main, sym_words, mark_bits.astype(jnp.uint32), mck_w,
          rel_words], axis=1)

@@ -901,29 +901,16 @@ def pad_text_for_mesh(text_np: np.ndarray, D: int, seg: int = DEFAULT_SEG,
     return out, n_pad
 
 
-def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
-                   n_pad: int, seg: int, ndocs: int, cap_local: int,
-                   tier: str, K: int, axis: str):
-    """Per-shard index packaging: each shard packages its own row range —
-    the TPU analog of the reference's per-bin write_index_files_node
-    (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI.
-
-    tier: "full" (uint16 symbol rows + int32 absolute checkpoints),
-    "compact" (uint16 relative + sharded int32 L1 rows carrying the
-    global base), or "packed" (compact + dense alphabet `used` (int32[K],
-    host-derived, replicated) + bit-packed words) — the sharded editions
-    of build_fm_arrays_device's tiers, so rank.ckpt_base/gather_segments
-    dispatch serves mesh queries for all of them."""
+def _shard_occ_base(bwt_block, used, *, seg: int, dense: bool, axis: str):
+    """(per_seg, occ_abs, C) for this shard's rows: local MXU histogram +
+    cross-shard prefix base (dense=True selects the `used` columns)."""
     from ..alphabet import ALPHA_SIZE
-    from ..fmindex import L1_GROUP
-    from ..ops.build_ops import _hist_core, _pack_stage, _pack_widths
+    from ..ops.build_ops import _hist_core
 
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
-    m = sa_block.shape[0]
+    m = bwt_block.shape[0]
     nseg_local = m // seg
-
-    # --- occ checkpoints: local MXU histogram + cross-shard prefix base ---
     CH = 512
     nchunks = -(-nseg_local // CH)
     pad_syms = nchunks * CH * seg - m
@@ -931,7 +918,7 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
         [bwt_block.astype(jnp.int32), jnp.full((pad_syms,), -1, jnp.int32)]
     ).reshape(nchunks, CH, seg)
     per_seg = _hist_core(b3, ALPHA_SIZE)[:nseg_local]
-    if tier != "full":
+    if dense:
         per_seg = jnp.take(per_seg, used, axis=1)         # [nseg_local, K]
     A_out = per_seg.shape[1]
     totals = per_seg.sum(axis=0)
@@ -947,6 +934,81 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
     C = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(gtot).astype(jnp.int32)]
     )
+    return per_seg, occ_abs, C
+
+
+def _shard_marks(sa_block, a_row_block, *, seg: int, ndocs: int,
+                 cap_local: int, axis: str):
+    """Per-shard mark packaging: (mark_bits, mark_ckpt GLOBAL-base,
+    mark_base, mark_vals local compaction, doc_seof_rows, n_marks,
+    mark_overflow)."""
+    from ..ops.build_ops import _mark_rank_select
+
+    D = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    m = sa_block.shape[0]
+    nseg_local = m // seg
+    marked = (a_row_block & 1) != 0
+    row_tag = a_row_block >> 1
+    bits = marked.reshape(m // 32, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    mark_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32).reshape(
+        nseg_local, seg // 32
+    )
+    per_seg_marks = marked.reshape(nseg_local, seg).sum(axis=1).astype(
+        jnp.int32)
+    local_marks = per_seg_marks.sum()
+    allm = jax.lax.all_gather(local_marks, axis)          # [D]
+    mark_base = jnp.sum(
+        jnp.where(jnp.arange(D) < me, allm, 0)).astype(jnp.int32)
+    mark_ckpt = mark_base + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
+    ).astype(jnp.int32)
+    # per-shard value compaction (lookup: grank - mark_base) by the same
+    # word-level rank-select as the single-chip packaging — O(cap_local)
+    # ops, no m-row scatter
+    mvalid, mrow = _mark_rank_select(mark_bits, local_marks, cap_local, m)
+    mark_vals = jnp.where(mvalid, sa_block[mrow], -1)
+    mark_overflow = jnp.maximum(local_marks - cap_local, 0)
+
+    # per-doc SEOF rows: local partial + psum merge
+    gidx = me * m + jnp.arange(m, dtype=jnp.int32)
+    dpart = (
+        jnp.zeros((ndocs + 1,), jnp.int32)
+        .at[jnp.where(row_tag > 0, row_tag - 1, ndocs)]
+        .set(gidx, mode="drop")[:ndocs]
+    )
+    doc_seof_rows = jax.lax.psum(dpart, axis)
+    n_marks = jax.lax.psum(local_marks, axis)
+    return (mark_bits, mark_ckpt, mark_base, mark_vals, doc_seof_rows,
+            n_marks, jax.lax.pmax(mark_overflow, axis))
+
+
+def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
+                   n_pad: int, seg: int, ndocs: int, cap_local: int,
+                   tier: str, K: int, axis: str):
+    """Per-shard index packaging: each shard packages its own row range —
+    the TPU analog of the reference's per-bin write_index_files_node
+    (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI.
+
+    tier: "full" (uint16 symbol rows + int32 absolute checkpoints),
+    "compact" (uint16 relative + sharded int32 L1 rows carrying the
+    global base), or "packed" (compact + dense alphabet `used` (int32[K],
+    host-derived, replicated) + bit-packed words) — the sharded editions
+    of build_fm_arrays_device's tiers, so rank.ckpt_base/gather_segments
+    dispatch serves mesh queries for all of them.  The vseg tier packages
+    via _package_shard_vseg (width/side-capacity are host-staged)."""
+    from ..alphabet import ALPHA_SIZE
+    from ..fmindex import L1_GROUP
+    from ..ops.build_ops import _pack_stage, _pack_widths
+
+    m = sa_block.shape[0]
+    nseg_local = m // seg
+
+    # --- occ checkpoints: local MXU histogram + cross-shard prefix base ---
+    per_seg, occ_abs, C = _shard_occ_base(
+        bwt_block, used, seg=seg, dense=tier != "full", axis=axis)
+    A_out = per_seg.shape[1]
     if tier == "full":
         occ_ckpt = occ_abs
         occ_l1 = jnp.zeros((1, A_out), jnp.int32)
@@ -977,43 +1039,125 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
                 jnp.uint16).reshape(nseg_local, seg)
 
     # --- marks: bitmap + GLOBAL-count checkpoints + local value store ---
-    marked = (a_row_block & 1) != 0
-    row_tag = a_row_block >> 1
-    bits = marked.reshape(m // 32, 32).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
-    mark_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint32).reshape(
-        nseg_local, seg // 32
-    )
-    per_seg_marks = marked.reshape(nseg_local, seg).sum(axis=1).astype(
-        jnp.int32)
-    local_marks = per_seg_marks.sum()
-    allm = jax.lax.all_gather(local_marks, axis)          # [D]
-    mark_base = jnp.sum(
-        jnp.where(jnp.arange(D) < me, allm, 0)).astype(jnp.int32)
-    mark_ckpt = mark_base + jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_seg_marks[:-1])]
-    ).astype(jnp.int32)
-    # per-shard value compaction (lookup: grank - mark_ckpt_local[0]) by
-    # the same word-level rank-select as the single-chip packaging
-    # (build_ops._mark_rank_select) — O(cap_local) ops, no m-row scatter
-    from ..ops.build_ops import _mark_rank_select
-
-    mvalid, mrow = _mark_rank_select(mark_bits, local_marks, cap_local, m)
-    mark_vals = jnp.where(mvalid, sa_block[mrow], -1)
-    mark_overflow = jnp.maximum(local_marks - cap_local, 0)
-
-    # --- per-doc SEOF rows: local partial + psum merge ---
-    gidx = me * m + jnp.arange(m, dtype=jnp.int32)
-    dpart = (
-        jnp.zeros((ndocs + 1,), jnp.int32)
-        .at[jnp.where(row_tag > 0, row_tag - 1, ndocs)]
-        .set(gidx, mode="drop")[:ndocs]
-    )
-    doc_seof_rows = jax.lax.psum(dpart, axis)
-    n_marks = jax.lax.psum(local_marks, axis)
+    (mark_bits, mark_ckpt, _mark_base, mark_vals, doc_seof_rows, n_marks,
+     mark_of) = _shard_marks(sa_block, a_row_block, seg=seg, ndocs=ndocs,
+                             cap_local=cap_local, axis=axis)
 
     return (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt, mark_vals,
-            doc_seof_rows, n_marks, jax.lax.pmax(mark_overflow, axis))
+            doc_seof_rows, n_marks, mark_of)
+
+
+def _vseg_stats_shard(bwt_block, used, *, seg: int, K: int, axis: str):
+    """Per-shard vseg width statistics (stage 1 of the sharded compressed
+    packaging): the per-segment sorted symbol lists + distinct counts, and
+    for every candidate main width the count of local segments that would
+    overflow to the side table.  Host picks ONE static width + the side
+    capacity from the tiny [D, n_cand] pull, then _package_shard_vseg
+    assembles the rows."""
+    from ..alphabet import ALPHA_SIZE
+    from ..ops.build_ops import (
+        VSEG_SMAX, _vseg_stats_stage, vseg_width_candidates,
+    )
+
+    m = bwt_block.shape[0]
+    nseg_local = m // seg
+    alpha_map = (
+        jnp.full((ALPHA_SIZE,), -1, jnp.int32)
+        .at[used].set(jnp.arange(K, dtype=jnp.int32))
+    )
+    codes2d = alpha_map[bwt_block.astype(jnp.int32)].reshape(nseg_local, seg)
+    syms, nsym = _vseg_stats_stage(codes2d, seg=seg, SMAX=VSEG_SMAX)
+    cands = vseg_width_candidates(seg)
+    ovf_counts = jnp.stack([
+        jnp.sum((~((nsym <= (1 << w_eff)) & (nsym < 255))).astype(jnp.int32))
+        for w_eff, _ in cands
+    ])[None, :]                                           # [1, n_cand]
+    return syms, nsym, ovf_counts
+
+
+def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
+                        syms_blk, nsym_blk, *, seg: int, ndocs: int,
+                        cap_local: int, K: int, w_main: int, max_ovf: int,
+                        axis: str):
+    """Per-shard vseg (compressed serving tier) packaging: the sharded
+    edition of build_ops._build_vseg — each shard assembles its OWN
+    serving rows [codes @ w_main local | symbol list | mark words |
+    GLOBAL mark-rank ckpt | uint16 rel occ ckpts], its own overflow side
+    table (padded to the global max so shapes agree across the mesh), and
+    its own mark-value compaction; occ_l1 rows carry the global base like
+    the packed tier, so rank's row-served vseg dispatch works with
+    shard-local segment ids.  The reference analog: per-node writers
+    emitting COMPRESSED buckets (dcx.hh:4930-5290 + index.c compress
+    path); serving compressed blocks from distributed storage is the
+    reference's whole deployment shape (index.h:195-197).
+
+    mark_ckpt is returned as the shard's [1] GLOBAL mark base (the rows
+    carry the per-segment checkpoints; dist_query uses
+    grank - mark_ckpt[0] for the local mark_vals slot)."""
+    from ..fmindex import L1_GROUP
+    from ..ops.build_ops import (
+        VSEG_SMAX, _to_u8, _to_u16, _vseg_pack_uniform, _vseg_rel_words,
+        _vseg_sym_words, _vseg_width_for,
+    )
+
+    m = sa_block.shape[0]
+    nseg_local = m // seg
+
+    per_seg, occ_abs, C = _shard_occ_base(
+        bwt_block, used, seg=seg, dense=True, axis=axis)
+    occ_l1 = occ_abs[::L1_GROUP]
+    occ_rel = (occ_abs - jnp.repeat(occ_l1, L1_GROUP, axis=0)).astype(
+        jnp.uint16)
+
+    (mark_bits, mark_ckpt, mark_base, mark_vals, doc_seof_rows, n_marks,
+     mark_of) = _shard_marks(sa_block, a_row_block, seg=seg, ndocs=ndocs,
+                             cap_local=cap_local, axis=axis)
+
+    from ..alphabet import ALPHA_SIZE
+
+    alpha_map = (
+        jnp.full((ALPHA_SIZE,), -1, jnp.int32)
+        .at[used].set(jnp.arange(K, dtype=jnp.int32))
+    )
+    codes2d = alpha_map[bwt_block.astype(jnp.int32)].reshape(nseg_local, seg)
+    wide = K > 256
+    w_side, _Wside = _vseg_width_for(seg, 9 if wide else 8)
+    bwt_main = _vseg_pack_uniform(codes2d, syms_blk, nsym_blk, seg=seg,
+                                  w=w_main, SMAX=VSEG_SMAX, side=False)
+    sym_words = _vseg_sym_words(syms_blk, wide)
+    mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
+    rel_words = _vseg_rel_words(occ_rel)
+    bwt_main = jnp.concatenate(
+        [bwt_main, sym_words, mark_bits.astype(jnp.uint32), mck_w,
+         rel_words], axis=1)
+
+    # overflow side table: compact this shard's non-covered segments into
+    # [max_ovf + 1, Wside] (row 0 dummy; all shards padded to the global
+    # max so the sharded array is rectangular)
+    w_eff = _vseg_width_for(seg, w_main)[0]
+    cov = (nsym_blk <= (1 << w_eff)) & (nsym_blk < 255)
+    ovf_rank = jnp.cumsum((~cov).astype(jnp.int32))       # 1-based
+    seg_woff = jnp.where(~cov, ovf_rank, 0)
+    tgt = jnp.where(~cov, jnp.minimum(ovf_rank - 1, max_ovf), max_ovf + 1)
+    codes_ovf = jnp.zeros((max_ovf + 2, seg), jnp.int32).at[tgt].set(
+        codes2d, mode="drop")[:max_ovf + 1]
+    dummy_s = jnp.zeros((max_ovf + 1, VSEG_SMAX), jnp.int32)
+    dummy_n = jnp.zeros((max_ovf + 1,), jnp.int32)
+    side_rows = _vseg_pack_uniform(codes_ovf, dummy_s, dummy_n, seg=seg,
+                                   w=w_side, SMAX=VSEG_SMAX, side=True)
+    seg_ovf = jnp.concatenate(
+        [jnp.zeros((1, side_rows.shape[1]), jnp.uint32), side_rows])
+
+    seg_nsym = _to_u8(nsym_blk)
+    seg_syms = (_to_u16 if wide else _to_u8)(
+        jnp.zeros((1, VSEG_SMAX), jnp.int32))
+    # 1-row dummies that preserve the dtype/shape dispatch (rank.is_vseg,
+    # seg_size); mark_ckpt carries the shard's global mark base
+    occ_dummy = jnp.zeros((1, K), jnp.uint16)
+    mark_bits_dummy = jnp.zeros((1, seg // 32), jnp.uint32)
+    return (bwt_main, occ_dummy, occ_l1, C, mark_bits_dummy,
+            mark_base[None], mark_vals, doc_seof_rows, n_marks, mark_of,
+            seg_ovf, seg_nsym, seg_woff, seg_syms)
 
 
 def build_index_sharded(
@@ -1038,9 +1182,10 @@ def build_index_sharded(
     strings that no pattern can match, so queries over [row0, n_rows) are
     exact.
 
-    tier: "full", "compact", or "packed" — the sharded editions of the
-    single-chip storage tiers (_package_shard docstring); sharded queries
-    (parallel/dist_query) serve all three.
+    tier: "full", "compact", "packed", or "vseg" — the sharded editions
+    of the single-chip storage tiers (_package_shard /
+    _package_shard_vseg docstrings); sharded queries (parallel/dist_query)
+    serve all four.
 
     Returns an FMIndex whose arrays live sharded across `mesh`.
     """
@@ -1049,7 +1194,7 @@ def build_index_sharded(
     from ..ops.build_ops import mark_cap
     from .mesh import replicated
 
-    if tier not in ("full", "compact", "packed"):
+    if tier not in ("full", "compact", "packed", "vseg"):
         raise ValueError(f"unknown sharded tier {tier!r}")
     if tier != "full" and seg * L1_GROUP > 0xFFFF:
         raise ValueError("compact/packed tiers need seg * L1_GROUP <= 65535")
@@ -1113,22 +1258,69 @@ def build_index_sharded(
         # here (identical-doc corpora cluster marks into one shard and
         # exercise the overflow->grow retry below)
         cap_local = min(max(128, mark_cap_local0), cap_total)
+    vseg_extra = {}
+    if tier == "vseg":
+        # stage 1: per-shard width statistics; the host picks ONE static
+        # main width (global bytes argmin, same objective as the
+        # single-chip _build_vseg) + the per-shard side-table capacity
+        from ..ops.build_ops import _vseg_width_for, vseg_width_candidates
+
+        stats_fn = functools.partial(
+            _vseg_stats_shard, seg=seg, K=K, axis=axis)
+        syms, nsym, ovf_counts = jax.jit(jax.shard_map(
+            stats_fn, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=(P(axis, None), P(axis), P(axis, None)),
+        ))(bwt, used_dev)
+        oc = np.asarray(ovf_counts)                        # [D, n_cand]
+        cands = vseg_width_candidates(seg)
+        wide = K > 256
+        _, Wside = _vseg_width_for(seg, 9 if wide else 8)
+        n_seg_total = n_pad // seg
+        best = None
+        for ci, (w_eff, Wm) in enumerate(cands):
+            bytes_w = n_seg_total * Wm * 4 + int(oc[:, ci].sum()) * Wside * 4
+            if best is None or bytes_w < best[0]:
+                best = (bytes_w, w_eff, ci)
+        _, w_main, ci = best
+        max_ovf = int(oc[:, ci].max())
+
     mark_cap_retries = 0
     while True:
-        fn = functools.partial(
-            _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
-            cap_local=cap_local, tier=tier, K=K, axis=axis,
-        )
-        l1_spec = P() if tier == "full" else P(axis, None)
-        mapped = jax.shard_map(
-            fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P()),
-            out_specs=(P(axis, None), P(axis, None), l1_spec, P(),
-                       P(axis, None), P(axis), P(axis), P(), P(), P()),
-        )
-        (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt, mark_vals,
-         doc_seof_rows, n_marks, mark_of) = jax.jit(mapped)(
-            sa, bwt, a_row, doc_starts_dev, used_dev)
+        if tier == "vseg":
+            fn = functools.partial(
+                _package_shard_vseg, seg=seg, ndocs=ndocs,
+                cap_local=cap_local, K=K, w_main=w_main, max_ovf=max_ovf,
+                axis=axis,
+            )
+            mapped = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P(),
+                          P(axis, None), P(axis)),
+                out_specs=(P(axis, None), P(), P(axis, None), P(),
+                           P(), P(axis), P(axis), P(), P(), P(),
+                           P(axis, None), P(axis), P(axis), P()),
+            )
+            (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt,
+             mark_vals, doc_seof_rows, n_marks, mark_of, seg_ovf, seg_nsym,
+             seg_woff, seg_syms) = jax.jit(mapped)(
+                sa, bwt, a_row, doc_starts_dev, used_dev, syms, nsym)
+            vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
+                              seg_woff=seg_woff, seg_syms=seg_syms)
+        else:
+            fn = functools.partial(
+                _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
+                cap_local=cap_local, tier=tier, K=K, axis=axis,
+            )
+            l1_spec = P() if tier == "full" else P(axis, None)
+            mapped = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                out_specs=(P(axis, None), P(axis, None), l1_spec, P(),
+                           P(axis, None), P(axis), P(axis), P(), P(), P()),
+            )
+            (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt,
+             mark_vals, doc_seof_rows, n_marks, mark_of) = jax.jit(mapped)(
+                sa, bwt, a_row, doc_starts_dev, used_dev)
         if int(jax.device_get(mark_of)) <= 0:
             break
         if cap_local >= cap_total:
@@ -1157,6 +1349,7 @@ def build_index_sharded(
         doc_seof_rows=doc_seof_rows,
         alpha_map=put_global(amap, rep),
         alpha_rev=put_global(arev, rep),
+        **vseg_extra,
     )
     meta = FMMeta(
         n=n, seg=seg, mark_period=mark_period, num_docs=ndocs,
