@@ -47,8 +47,8 @@ def probe(name, prepared, seg, mark_period, tier):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--segs", default="256,512")
-    ap.add_argument("--tiers", default="packed,vseg")
+    ap.add_argument("--segs", default="512,1024,2048")
+    ap.add_argument("--tiers", default="packed,vseg,vrle")
     ap.add_argument("--mark", default="20,40")
     ap.add_argument("--max-mb", type=float, default=16.0)
     args = ap.parse_args()

@@ -171,15 +171,20 @@ def pattern_to_alpha(pattern: bytes) -> np.ndarray:
     return bytes_to_alpha(pattern).astype(np.int32)
 
 
-def should_mark(mark_period: int, doc_offset: int, doc_len: int) -> bool:
-    """Mark-sampling rule, matching index_types.h:134-144: document start and
-    final position are always marked; interior positions on the mark_period
-    grid are marked.  doc_len includes the SEOF terminator."""
+def should_mark(mark_period: int, pos: int, doc_offset: int,
+                doc_len: int) -> bool:
+    """Mark-sampling rule (the role of index_types.h:134-144): document
+    start and final position are always marked; interior positions on the
+    GLOBAL mark_period grid are marked.  The grid is global (round 4)
+    rather than doc-relative so grid mark values are multiples of the
+    period and bit-pack at ~log2(n/period) bits (build_ops.mark_pack_geom)
+    — the walk bound is unchanged (< period LF steps to the grid point).
+    doc_len includes the SEOF terminator."""
     if mark_period == 0:
         return False
     if doc_offset == 0 or doc_offset == doc_len - 1:
         return True
-    return doc_offset % mark_period == 0
+    return pos % mark_period == 0
 
 
 def mark_positions_np(
@@ -187,8 +192,8 @@ def mark_positions_np(
 ) -> np.ndarray:
     """Vectorized should_mark over every position of the prepared text.
 
-    Returns a bool[n] array: position p is marked iff should_mark(mark_period,
-    p - doc_start(p), doc_len(p)).
+    Returns a bool[n] array: position p is marked iff
+    should_mark(mark_period, p, p - doc_start(p), doc_len(p)).
     """
     n = int(doc_starts[-1])
     if mark_period == 0:
@@ -197,4 +202,4 @@ def mark_positions_np(
     doc_of = np.searchsorted(doc_starts, pos, side="right") - 1
     doc_off = pos - doc_starts[doc_of]
     doc_end = doc_starts[doc_of + 1] - doc_starts[doc_of]
-    return (doc_off == 0) | (doc_off == doc_end - 1) | (doc_off % mark_period == 0)
+    return (doc_off == 0) | (doc_off == doc_end - 1) | (pos % mark_period == 0)

@@ -443,7 +443,8 @@ def main(argv=None) -> int:
     s.add_argument("--max-bytes", type=int, default=None)
     s.add_argument("--compact", action="store_true",
                    help="uint16 relative checkpoints (smaller index)")
-    s.add_argument("--tier", choices=["full", "compact", "packed", "vseg"],
+    s.add_argument("--tier",
+                   choices=["full", "compact", "packed", "vseg", "vrle"],
                    default=None,
                    help="storage tier (vseg = per-segment-width compressed"
                         " serving tier, smallest index)")

@@ -151,7 +151,11 @@ class FMArrays(NamedTuple):
     #                       the dense alphabet size)
     mark_bits: jax.Array  # uint32[n_seg, SEG//32]; marked-row bitmap
     mark_ckpt: jax.Array  # int32[n_seg]; marked rows before segment
-    mark_vals: jax.Array  # int32[n_marks_pad]; text offset per marked row
+    mark_vals: jax.Array  # uint32[n_words + exc_cap]: bit-packed grid
+    #                       mark values (k = offset // period at
+    #                       mark_meta[0] bits per slot) + int32 exception
+    #                       region (doc starts/SEOFs); legacy indexes:
+    #                       int32[n_marks_pad] raw offsets (mark_meta None)
     doc_starts: jax.Array  # int32[ndocs+1]
     doc_seof_rows: jax.Array  # int32[ndocs]; row whose suffix starts at the
     #                           doc's SEOF (used by extract: walk LF backward)
@@ -168,6 +172,15 @@ class FMArrays(NamedTuple):
     #                                       in seg_ovf, 0 = main
     seg_syms: Optional[jax.Array] = None  # uint8|uint16[n_seg, SMAX]
     #                                       sorted dense codes present
+    # packed mark-value geometry (ops/build_ops.mark_pack_geom):
+    # [bits, exc_base, period, exc_off(words), cap]; None = legacy raw
+    # int32 mark_vals
+    mark_meta: Optional[jax.Array] = None
+    # vrle tier marker (rank.is_vrle): int32[1, w_main] dummy — presence
+    # means the row's code area is per-segment RLE slots (seg_woff == -1)
+    # or fixed w_main-bit codes (seg_woff == 0); shape carries the static
+    # W-mode width
+    seg_rle: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -468,11 +481,15 @@ def build_fm_arrays(
     per_seg_marks = marked_row.reshape(n_seg, seg).sum(axis=1)
     mark_ckpt = np.zeros(n_seg, dtype=np.int64)
     np.cumsum(per_seg_marks[:-1], out=mark_ckpt[1:])
-    mark_vals = sa_np[marked_row[:n]].astype(np.int32)
-    n_marks = int(mark_vals.shape[0])
-    # Pad to a friendly multiple for static shapes.
-    pad_marks = max(1, -(-n_marks // 128) * 128)
-    mark_vals = np.pad(mark_vals, (0, pad_marks - n_marks), constant_values=-1)
+    mark_vals_raw = sa_np[marked_row[:n]].astype(np.int64)
+    n_marks = int(mark_vals_raw.shape[0])
+    # bit-packed grid store, IDENTICAL geometry to the device path so the
+    # host/device packaging parity tests compare arrays verbatim
+    from .ops.build_ops import mark_cap, pack_mark_vals_np
+    ndocs = int(doc_starts.shape[0]) - 1
+    cap = mark_cap(n, ndocs, mark_period, seg)
+    mark_vals, mark_meta = pack_mark_vals_np(
+        mark_vals_raw, n=n, period=mark_period, ndocs=ndocs, cap=cap)
 
     # Row of each document's SEOF position (inverse SA at doc_end-1).
     isa = np.empty(n, dtype=np.int64)
@@ -492,6 +509,7 @@ def build_fm_arrays(
         doc_seof_rows=jnp.asarray(doc_seof_rows),
         alpha_map=jnp.arange(ALPHA_SIZE, dtype=jnp.int32),
         alpha_rev=jnp.arange(ALPHA_SIZE, dtype=jnp.int32),
+        mark_meta=jnp.asarray(mark_meta),
     )
     meta = FMMeta(
         n=n,
@@ -541,10 +559,13 @@ def build_index(
 ) -> FMIndex:
     """End-to-end single-device index build: SA and packaging on device.
 
-    tier: "full" (default), "compact", "packed", or "vseg" (see FMArrays
-    docstring; compact=True is the back-compat spelling of tier="compact").
-    "vseg" is the compressed serving tier: per-segment dense remap at
-    per-segment bit width + int8 interpolated occ checkpoints.
+    tier: "full" (default), "compact", "packed", "vseg", or "vrle" (see
+    FMArrays docstring; compact=True is the back-compat spelling of
+    tier="compact").  "vseg" is the fixed-width compressed serving tier
+    (per-segment dense remap at a size-optimal shared width); "vrle" adds
+    per-segment RUN-LENGTH coded rows — the smallest tier on real text,
+    where BWT runs average 3.5-4.2 symbols (the role of the reference's
+    RLE-gamma bseq compression, wtree.c:359-770).
 
     locate: "walk" (default; mark-sampled LF walk, memory-lean) or
     "direct" (keep the whole suffix array HBM-resident: locate = one

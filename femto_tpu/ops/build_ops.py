@@ -63,10 +63,14 @@ def _aux_positions(doc_starts, *, n, mark_period, ndocs):
     if mark_period == 0:
         marked_pos = jnp.zeros((n,), bool)
     else:
+        # GRID sampling (round 4): positions on the global grid
+        # (idx % period == 0) plus doc starts/SEOFs.  The walk bound is
+        # unchanged (any position reaches its grid point in < period LF
+        # steps), and grid values are multiples of the period, so the
+        # packed mark-value store (mark_pack_geom) needs only
+        # ~log2(n/period) bits per mark instead of 32.
         is_start = jnp.zeros((n,), bool).at[doc_starts[:-1]].set(True)
-        doc_start_of = jax.lax.cummax(jnp.where(is_start, idx, 0))
-        doc_off = idx - doc_start_of
-        marked_pos = is_start | (tag > 0) | (doc_off % mark_period == 0)
+        marked_pos = is_start | (tag > 0) | (idx % mark_period == 0)
     return marked_pos.astype(jnp.int32) | (tag << 1)
 
 
@@ -316,6 +320,13 @@ def vseg_width_candidates(seg: int):
     return out
 
 
+def vseg_sym_store(w_main: int, wide: bool) -> int:
+    """Stored symbol-list length: min(SMAX, 2^w_main) rounded up to the
+    per-word packing unit (4 u8 / 2 u16 symbols per uint32)."""
+    per = 2 if wide else 4
+    return -(-min(VSEG_SMAX, 1 << w_main) // per) * per
+
+
 def _vseg_sym_words(syms_i32, wide: bool):
     """Pack the per-segment sorted symbol lists int32[n_seg, SMAX] into
     uint32 row words (pads -> dtype max: never below a real code)."""
@@ -394,8 +405,13 @@ def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
                                   w=w_main, SMAX=VSEG_SMAX, side=False)
     # append the packed symbol list to each row (pads -> dtype max, which
     # never compares below a real code), then the mark words, the
-    # mark-rank checkpoint, and the packed uint16 relative ckpts
-    sym_words = _vseg_sym_words(syms_i32, wide)
+    # mark-rank checkpoint, and the packed uint16 relative ckpts.
+    # The stored list is RIGHT-SIZED to the segments that can actually
+    # use it: covered segments have nsym <= 2^w_main, so only
+    # min(SMAX, 2^w_main) entries are ever consulted (round 4 — halves
+    # the per-row symbol cost on small-width corpora like DNA).
+    s_store = vseg_sym_store(w_main, wide)
+    sym_words = _vseg_sym_words(syms_i32[:, :s_store], wide)
     mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
     rel_words = _vseg_rel_words(occ_ckpt)
     bwt_main = jnp.concatenate(
@@ -419,11 +435,241 @@ def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     else:
         seg_ovf = jnp.zeros((1, 1), jnp.uint32)
 
-    # dummy typed marker: carries SMAX + symbol dtype in its shape/dtype
+    # dummy typed marker: carries the STORED list length + symbol dtype
+    # in its shape/dtype (rank._VsegGeom derives row offsets from it)
     seg_syms = (_to_u16 if wide else _to_u8)(
-        jnp.zeros((1, VSEG_SMAX), jnp.int32))
+        jnp.zeros((1, s_store), jnp.int32))
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
             jnp.asarray(seg_woff_np), seg_syms)
+
+
+VRLE_SMAX = 64  # vrle symbol-list capacity (w_s <= 6 keeps len bits >= 2)
+
+
+def vrle_ws_np(nsym: np.ndarray) -> np.ndarray:
+    """Per-segment RLE symbol width w_s = ceil(log2(max(nsym, 2))),
+    capped at 6 (so the u8 slot keeps >= 2 length bits)."""
+    n = nsym.astype(np.int64)
+    return (1 + (n > 2) + (n > 4) + (n > 8) + (n > 16) + (n > 32)).astype(
+        np.int32)
+
+
+def _vrle_ws(nsym):
+    """Device edition of vrle_ws_np."""
+    n = nsym.astype(jnp.int32)
+    return (1 + (n > 2).astype(jnp.int32) + (n > 4) + (n > 8) + (n > 16)
+            + (n > 32)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
+def _vrle_slot_stats(codes2d, syms, nsym, *, seg, SMAX):
+    """Per-segment RLE slot count at that segment's width (device,
+    chunked): runs of the LOCAL code sequence, long runs split at the
+    slot's length capacity 2^(8 - w_s) - 1."""
+    PAD = 1 << 20
+
+    def chunk(args):
+        codes, sy, ns = args
+        CH = codes.shape[0]
+        lc = jnp.sum((sy[:, None, :] < codes[:, :, None]).astype(jnp.int32),
+                     axis=2)
+        lc = jnp.where(codes < PAD, lc, 0)
+        ws = _vrle_ws(ns)
+        maxlen = (jnp.int32(1) << (8 - ws)) - 1              # [CH]
+        iota = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 1)
+        brk = jnp.concatenate(
+            [jnp.ones((CH, 1), bool), lc[:, 1:] != lc[:, :-1]], axis=1)
+        run_start = jax.lax.cummax(jnp.where(brk, iota, 0), axis=1)
+        is_slot = brk | ((iota - run_start) % maxlen[:, None] == 0)
+        return jnp.sum(is_slot.astype(jnp.int32), axis=1)
+
+    CH = 512
+    n_seg = codes2d.shape[0]
+    nch = -(-n_seg // CH)
+    pad_rows = nch * CH - n_seg
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), PAD, jnp.int32)]
+    ).reshape(nch, CH, seg)
+    s3 = jnp.concatenate(
+        [syms, jnp.full((pad_rows, SMAX), PAD, jnp.int32)]
+    ).reshape(nch, CH, SMAX)
+    n3 = jnp.concatenate(
+        [nsym, jnp.zeros((pad_rows,), jnp.int32)]).reshape(nch, CH)
+    slots = jax.lax.map(chunk, (c3, s3, n3))
+    return slots.reshape(-1)[:n_seg]
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "SMAX", "A_words"))
+def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
+    """Pack each segment's runs into u8 slots (local_sym << lenbits |
+    len), len in [1, 2^lenbits - 1] (0 = padding slot contributing
+    nothing), lenbits = 8 - w_s per segment.  Returns
+    uint32[n_seg, A_words] (slots beyond the capacity drop — such
+    segments are never served in RLE mode)."""
+    PAD = 1 << 20
+    A_bytes = A_words * 4
+
+    def chunk(args):
+        codes, sy, ns = args
+        CH = codes.shape[0]
+        lc = jnp.sum((sy[:, None, :] < codes[:, :, None]).astype(jnp.int32),
+                     axis=2)
+        lc = jnp.where(codes < PAD, lc, 0)
+        ws = _vrle_ws(ns)
+        lenbits = (8 - ws).astype(jnp.uint32)                # [CH]
+        maxlen = (jnp.int32(1) << (8 - ws)) - 1
+        iota = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 0)
+        brk = jnp.concatenate(
+            [jnp.ones((CH, 1), bool), lc[:, 1:] != lc[:, :-1]], axis=1)
+        run_id = jnp.cumsum(brk.astype(jnp.int32), axis=1) - 1
+        run_len = (
+            jnp.zeros((CH, seg), jnp.int32).at[rowi, run_id].add(1)
+        )
+        run_start = jax.lax.cummax(jnp.where(brk, iota, 0), axis=1)
+        run_end = run_start + jnp.take_along_axis(run_len, run_id, axis=1)
+        is_slot = brk | ((iota - run_start) % maxlen[:, None] == 0)
+        slot_idx = jnp.cumsum(is_slot.astype(jnp.int32), axis=1) - 1
+        slot_len = jnp.minimum(run_end - iota, maxlen[:, None])
+        byte = ((lc.astype(jnp.uint32) << lenbits[:, None])
+                | slot_len.astype(jnp.uint32))
+        tgt = jnp.where(is_slot & (slot_idx < A_bytes), slot_idx, A_bytes)
+        grid = jnp.zeros((CH, A_bytes + 1), jnp.uint32).at[
+            rowi, tgt].set(byte, mode="drop")[:, :A_bytes]
+        g4 = grid.reshape(CH, A_words, 4)
+        shifts = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(8)
+        return jnp.sum(g4 << shifts[None, None, :], axis=2,
+                       dtype=jnp.uint32)
+
+    CH = 256
+    n_seg = codes2d.shape[0]
+    nch = -(-n_seg // CH)
+    pad_rows = nch * CH - n_seg
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), PAD, jnp.int32)]
+    ).reshape(nch, CH, seg)
+    s3 = jnp.concatenate(
+        [syms, jnp.full((pad_rows, SMAX), PAD, jnp.int32)]
+    ).reshape(nch, CH, SMAX)
+    n3 = jnp.concatenate(
+        [nsym, jnp.zeros((pad_rows,), jnp.int32)]).reshape(nch, CH)
+    words = jax.lax.map(chunk, (c3, s3, n3))
+    return words.reshape(-1, A_words)[:n_seg]
+
+
+def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
+              n_seg: int, wide: bool, Wside: int):
+    """Host argmin over (w_main, A_words): per-segment mode = RLE u8
+    slots if the segment's (split-adjusted) run count fits the code
+    area, else fixed w_main-bit codes if its alphabet fits, else the
+    side table.  Returns (w_main, A_words, s_store, rle_np, wfit_np)."""
+    sym_b = 2 if wide else 1
+    per = 2 if wide else 4
+    rle_alpha = (nsym_np <= VRLE_SMAX) & (nsym_np < 255)
+    best = None
+    # A candidates: the W row width plus slot-count percentiles
+    pcts = np.percentile(slots_np, [50, 60, 70, 80, 90, 95, 99]) \
+        if n_seg else np.array([seg])
+    for w_eff, Wm in vseg_width_candidates(seg):
+        wfit = (nsym_np <= (1 << w_eff)) & (nsym_np < 255)
+        a_cands = {Wm}
+        for p in pcts:
+            a_cands.add(max(int(-(-p // 4)), Wm))
+        a_cands.add(seg // 4)
+        for A in sorted(a_cands):
+            if A > max(seg // 2, Wm):
+                continue
+            rle = rle_alpha & (slots_np <= A * 4)
+            cov = rle | wfit
+            n_cov = int(cov.sum())
+            smax_cov = int(nsym_np[cov].max()) if n_cov else 2
+            s_store = -(-min(max(smax_cov, 2), VRLE_SMAX) // per) * per
+            bytes_w = (n_seg * (A * 4 + s_store * sym_b)
+                       + int((~cov).sum()) * Wside * 4)
+            if best is None or bytes_w < best[0]:
+                best = (bytes_w, w_eff, A, s_store, rle, wfit)
+    _, w_main, A_words, s_store, rle_np, wfit_np = best
+    return w_main, A_words, s_store, rle_np, wfit_np
+
+
+def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
+                *, n, n_seg, seg):
+    """Assemble the vrle tier: the vseg serving shape (ONE uniform main
+    row per segment gathered per rank/walk step) with a RUN-LENGTH coded
+    code area — the TPU-shaped answer to the reference's RLE-gamma bseq
+    compression (wtree.c:359-770), which fixed-width rows cannot match
+    on real text (BWT mean run length 3.5-4.2 measured on code/prose,
+    PERF.md round 4).
+
+    Main row: [code area A_words | symbol list | mark words | mark ckpt |
+    uint16-relative occ ckpts].  Per segment the code area holds EITHER
+    u8 RLE slots (local_sym << lenbits | len, lenbits = 8 - w_s from the
+    segment's own alphabet, long runs split) — seg_woff == -1 — or
+    fixed w_main-bit codes (seg_woff == 0), with the global-code side
+    table (seg_woff > 0) for segments neither covers.  seg_rle is a
+    [1, w_main] dummy marking the tier (rank.is_vrle) and carrying the
+    static W-mode width."""
+    K = int(used.shape[0])
+    alpha_map_np = np.full(ALPHA_SIZE, -1, np.int32)
+    alpha_map_np[used] = np.arange(K, dtype=np.int32)
+    alpha_map = jnp.asarray(alpha_map_np)
+
+    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
+
+    wide = K > 256
+    w_side, Wside = _vseg_width_for(seg, 9 if wide else 8)
+    codes2d = _codes2d_stage(bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg)
+    syms_i32, nsym_i32 = _vseg_stats_stage(codes2d, seg=seg, SMAX=VRLE_SMAX)
+    slots_dev = _vrle_slot_stats(codes2d, syms_i32, nsym_i32, seg=seg,
+                                 SMAX=VRLE_SMAX)
+    nsym_np = np.asarray(nsym_i32)                     # [n_seg] tiny pulls
+    slots_np = np.asarray(slots_dev)
+
+    w_main, A_words, s_store, rle_np, wfit_np = vrle_plan(
+        nsym_np, slots_np, seg=seg, n_seg=n_seg, wide=wide, Wside=Wside)
+
+    Wm = _vseg_width_for(seg, w_main)[1]
+    w_rows = _vseg_pack_uniform(codes2d, syms_i32, nsym_i32, seg=seg,
+                                w=w_main, SMAX=VRLE_SMAX, side=False)
+    if Wm < A_words:
+        w_rows = jnp.concatenate(
+            [w_rows, jnp.zeros((n_seg, A_words - Wm), jnp.uint32)], axis=1)
+    rle_rows = _vrle_pack_slots(codes2d, syms_i32, nsym_i32, seg=seg,
+                                SMAX=VRLE_SMAX, A_words=A_words)
+    mode_rle = jnp.asarray(rle_np)
+    code_area = jnp.where(mode_rle[:, None], rle_rows, w_rows)
+
+    sym_words = _vseg_sym_words(syms_i32[:, :s_store], wide)
+    mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
+    rel_words = _vseg_rel_words(occ_ckpt)
+    bwt_main = jnp.concatenate(
+        [code_area, sym_words, mark_bits.astype(jnp.uint32), mck_w,
+         rel_words], axis=1)
+    occ_ckpt = occ_ckpt[:1]
+
+    cov = rle_np | wfit_np
+    ovf_idx = np.nonzero(~cov)[0].astype(np.int32)
+    novf = int(ovf_idx.shape[0])
+    seg_woff_np = np.zeros(n_seg, np.int32)
+    seg_woff_np[rle_np] = -1
+    seg_woff_np[ovf_idx] = np.arange(1, novf + 1, dtype=np.int32)
+    if novf:
+        codes_ovf = jnp.take(codes2d, jnp.asarray(ovf_idx), axis=0)
+        dummy_s = jnp.zeros((novf, VRLE_SMAX), jnp.int32)
+        dummy_n = jnp.zeros((novf,), jnp.int32)
+        side_rows = _vseg_pack_uniform(codes_ovf, dummy_s, dummy_n,
+                                       seg=seg, w=w_side, SMAX=VRLE_SMAX,
+                                       side=True)
+        seg_ovf = jnp.concatenate(
+            [jnp.zeros((1, side_rows.shape[1]), jnp.uint32), side_rows])
+    else:
+        seg_ovf = jnp.zeros((1, 1), jnp.uint32)
+
+    seg_syms = (_to_u16 if wide else _to_u8)(
+        jnp.zeros((1, s_store), jnp.int32))
+    seg_rle = jnp.zeros((1, w_main), jnp.int32)
+    return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
+            jnp.asarray(seg_woff_np), seg_syms, seg_rle)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
@@ -672,6 +918,105 @@ def _marks_finish(sa, a_row, *, n, n_pad, seg, cap, ndocs, mark_period=1):
     return mark_bits, mark_ckpt, mark_vals, n_marks, doc_seof_rows
 
 
+def mark_pack_geom(n: int, mark_period: int, ndocs: int, cap: int):
+    """(bits, exc_base, exc_cap, n_words): static geometry of the packed
+    mark-value store.
+
+    Grid-sampled mark values (_aux_positions) are multiples of
+    mark_period, so the store keeps k = value // period in `bits`-wide bit
+    slots (bits ~ log2(n / period) instead of 32); the non-grid marks (doc
+    starts/SEOFs, <= 2*ndocs of them) store k = exc_base + j, an index
+    into an int32 exception region appended to the same uint32 array.
+    The reference stores marked doc/offset pairs inside its compressed
+    buckets (block_format.txt:105-151); here the savings matter because
+    the mark-value stream is the one locate-support array that scales with
+    n / period."""
+    if mark_period == 0:
+        return 1, 1, 1, 1
+    exc_base = n // mark_period + 2
+    exc_cap = 2 * ndocs + 2
+    bits = max(int(np.ceil(np.log2(exc_base + exc_cap + 1))), 1)
+    if bits > 31:
+        raise ValueError("corpus too large for packed mark values")
+    if cap * bits >= (1 << 31):
+        raise ValueError(
+            "packed mark store exceeds int32 bit addressing; raise "
+            "mark_period or chunk the corpus"
+        )
+    n_words = (cap * bits + 31) // 32 + 1
+    return bits, exc_base, exc_cap, n_words
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "bits", "exc_base", "exc_cap",
+                              "period", "n_words")
+)
+def _pack_mark_vals(mark_vals, *, cap, bits, exc_base, exc_cap, period,
+                    n_words):
+    """Bit-pack the int32[cap] mark-value slots (-1 = empty) into
+    uint32[n_words + exc_cap]: grid values as k = v // period at `bits`
+    per slot, non-grid values as sentinel indexes into the int32
+    exception region appended after the packed words.  Returns
+    (packed uint32[n_words + exc_cap], mark_meta int32[5])."""
+    mv = mark_vals.astype(jnp.int32)
+    valid = mv >= 0
+    on_grid = valid & (mv % period == 0)
+    is_exc = valid & ~on_grid
+    exc_rank = jnp.cumsum(is_exc.astype(jnp.int32)) - 1
+    k = jnp.where(is_exc, exc_base + exc_rank, mv // period)
+    k = jnp.where(valid, k, 0).astype(jnp.uint32)
+    bp = jnp.arange(cap, dtype=jnp.int32) * bits
+    wi = bp >> 5
+    sh = (bp & 31).astype(jnp.uint32)
+    lo = k << sh
+    # slots never share bit positions, so scatter-add == scatter-or
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   k >> ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    words = (
+        jnp.zeros((n_words,), jnp.uint32).at[wi].add(lo).at[wi + 1].add(hi)
+    )
+    exc = (
+        jnp.zeros((exc_cap,), jnp.int32)
+        .at[jnp.where(is_exc, exc_rank, exc_cap)]
+        .set(mv, mode="drop")
+    )
+    packed = jnp.concatenate(
+        [words, jax.lax.bitcast_convert_type(exc, jnp.uint32)])
+    meta = jnp.array([bits, exc_base, period, n_words, cap], jnp.int32)
+    return packed, meta
+
+
+def pack_mark_vals_np(mark_vals_np: np.ndarray, *, n: int, period: int,
+                      ndocs: int, cap: int):
+    """Host (numpy) edition of _pack_mark_vals for the host build path.
+    Returns (packed uint32[n_words + exc_cap], mark_meta np.int32[5])."""
+    if period == 0:
+        meta = np.array([1, 1, 0, 1, cap], np.int32)
+        return np.zeros(2, np.uint32), meta
+    bits, exc_base, exc_cap, n_words = mark_pack_geom(n, period, ndocs, cap)
+    mv = np.full(cap, -1, np.int64)
+    mv[: mark_vals_np.shape[0]] = mark_vals_np
+    valid = mv >= 0
+    is_exc = valid & (mv % period != 0)
+    exc_rank = np.cumsum(is_exc) - 1
+    k = np.where(is_exc, exc_base + exc_rank, np.maximum(mv, 0) // period)
+    k = np.where(valid, k, 0).astype(np.uint64)
+    bp = np.arange(cap, dtype=np.int64) * bits
+    wi = bp >> 5
+    sh = (bp & 31).astype(np.uint64)
+    words = np.zeros(n_words, np.uint64)
+    np.add.at(words, wi, (k << sh) & 0xFFFFFFFF)
+    # uint64 shift by 32 (sh == 0) is well-defined and yields 0 for
+    # k < 2^31, so no masking dance is needed on the host side
+    np.add.at(words, wi + 1, k >> (np.uint64(32) - sh))
+    exc = np.zeros(exc_cap, np.int32)
+    exc[exc_rank[is_exc]] = mv[is_exc]
+    packed = np.concatenate(
+        [words.astype(np.uint32), exc.view(np.uint32)])
+    meta = np.array([bits, exc_base, period, n_words, cap], np.int32)
+    return packed, meta
+
+
 def build_fm_arrays_device(
     text: jax.Array,
     sa: jax.Array,
@@ -704,9 +1049,9 @@ def build_fm_arrays_device(
     from ..alphabet import ALPHA_SIZE as A
     from ..fmindex import L1_GROUP
 
-    if tier not in ("full", "compact", "packed", "vseg"):
+    if tier not in ("full", "compact", "packed", "vseg", "vrle"):
         raise ValueError(f"unknown tier {tier!r}")
-    compact = tier in ("compact", "packed", "vseg")
+    compact = tier in ("compact", "packed", "vseg", "vrle")
     n_seg = n // seg + 1
     n_seg = -(-n_seg // seg_multiple) * seg_multiple
     if compact:
@@ -737,9 +1082,18 @@ def build_fm_arrays_device(
         sa, a_row, n=n, n_pad=n_pad, seg=seg, cap=cap, ndocs=ndocs,
         mark_period=mark_period,
     )
+    if mark_period == 0:
+        mark_vals = jnp.zeros((2,), jnp.uint32)
+        mark_meta = jnp.array([1, 1, 0, 1, cap], jnp.int32)
+    else:
+        bits, exc_base, exc_cap, n_words = mark_pack_geom(
+            n, mark_period, ndocs, cap)
+        mark_vals, mark_meta = _pack_mark_vals(
+            mark_vals, cap=cap, bits=bits, exc_base=exc_base,
+            exc_cap=exc_cap, period=mark_period, n_words=n_words)
     alpha_used = 0
     vseg_extra = {}
-    if tier in ("packed", "vseg"):
+    if tier in ("packed", "vseg", "vrle"):
         if alpha is not None:
             # contract: alpha covers every BWT symbol — the text symbols
             # (each is someone's preceding character on the cyclic
@@ -766,14 +1120,17 @@ def build_fm_arrays_device(
             # host-alpha path's win is skipping the counts round-trip
             per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=A)
             per_seg_used = jnp.take(per_seg, jnp.asarray(used), axis=1)
-        if tier == "vseg":
+        if tier in ("vseg", "vrle"):
+            builder = _build_vseg if tier == "vseg" else _build_vrle
             (bwt_store, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
-             seg_syms) = _build_vseg(
+             seg_syms, *rest) = builder(
                 bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
                 n=n, n_seg=n_seg, seg=seg,
             )
             vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
                               seg_woff=seg_woff, seg_syms=seg_syms)
+            if rest:
+                vseg_extra["seg_rle"] = rest[0]
             # marks and relative checkpoints live INSIDE the serving rows;
             # keep 1-row dummies that preserve seg_size()/dtype dispatch
             mark_bits = mark_bits[:1]
@@ -805,6 +1162,7 @@ def build_fm_arrays_device(
         doc_seof_rows=doc_seof_rows,
         alpha_map=alpha_map,
         alpha_rev=alpha_rev,
+        mark_meta=mark_meta,
         **vseg_extra,
     )
     return arrays, n_marks, alpha_used

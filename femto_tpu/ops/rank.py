@@ -46,19 +46,33 @@ def n_segments(arrays: FMArrays) -> int:
     return arrays.occ_ckpt.shape[0]
 
 
-def is_vseg(arrays: FMArrays) -> bool:
-    """Compressed serving tier (fmindex.FMArrays docstring): per-segment
-    symbol lists + size-optimal shared-width rows + overflow side table."""
+def is_row_tier(arrays: FMArrays) -> bool:
+    """One-row serving layout (vseg or vrle): per-segment symbol lists,
+    marks + relative occ checkpoints inside the main row, overflow side
+    table.  Every layout helper below (_vseg_*) serves both; the two
+    tiers differ only in how the row's CODE AREA decodes."""
     return arrays.seg_nsym is not None
 
 
+def is_vrle(arrays: FMArrays) -> bool:
+    """Run-length coded row tier (round 4): the code area holds either u8
+    RLE slots (seg_woff == -1) or fixed-width codes (seg_woff == 0);
+    seg_rle is a [1, w_main] static marker."""
+    return arrays.seg_rle is not None
+
+
+def is_vseg(arrays: FMArrays) -> bool:
+    """Fixed-width compressed serving tier (fmindex.FMArrays docstring)."""
+    return is_row_tier(arrays) and not is_vrle(arrays)
+
+
 def is_packed(arrays: FMArrays) -> bool:
-    return arrays.bwt.dtype == jnp.uint32 and not is_vseg(arrays)
+    return arrays.bwt.dtype == jnp.uint32 and not is_row_tier(arrays)
 
 
 def is_remapped(arrays: FMArrays) -> bool:
     return (arrays.C.shape[0] != ALPHA_SIZE + 1 or is_packed(arrays)
-            or is_vseg(arrays))
+            or is_row_tier(arrays))
 
 
 def alpha_count(arrays: FMArrays) -> int:
@@ -96,7 +110,7 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
     bit-packed tiers in registers; pad slots of the packed tier hold an
     all-ones code >= K; vseg tail-pad rows decode to an arbitrary present
     code, which is safe because no query ever counts past row n)."""
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         return _gather_segments_vseg(arrays, s)
     if not is_packed(arrays):
         return jnp.take(arrays.bwt, s, axis=0).astype(jnp.int32)
@@ -110,12 +124,17 @@ def gather_segments(arrays: FMArrays, s: jax.Array) -> jax.Array:
 
 
 class _VsegGeom:
-    """Static layout of a vseg main row (all derived from array shapes):
-    [codes W | symbol list Wsym | mark words seg/32 | mark ckpt 1 |
-     uint16-relative occ ckpts ceil(K/2)]."""
+    """Static layout of a row-tier main row (all derived from array
+    shapes): [code area W | symbol list Wsym | mark words seg/32 |
+    mark ckpt 1 | uint16-relative occ ckpts ceil(K/2)].
 
-    __slots__ = ("seg", "w_main", "W", "Wsym", "off_syms", "off_mk",
-                 "Wmk", "off_mck", "off_rel", "w_side")
+    vseg: the code area IS the fixed-width row (Wmode == W, w_main
+    re-derived from W).  vrle: the code area is A words holding either
+    u8 RLE slots or fixed w_main-bit codes (w_main from the seg_rle
+    marker's shape; Wmode = the W-mode slice of the area)."""
+
+    __slots__ = ("seg", "w_main", "W", "Wmode", "Wsym", "off_syms",
+                 "off_mk", "Wmk", "off_mck", "off_rel", "w_side")
 
     def __init__(self, arrays: FMArrays):
         self.seg = seg_size(arrays)
@@ -127,7 +146,12 @@ class _VsegGeom:
         Wrel = -(-K // 2)
         total = arrays.bwt.shape[1]
         self.W = total - self.Wsym - self.Wmk - 1 - Wrel
-        self.w_main = 32 // (-(-self.seg // self.W))
+        if arrays.seg_rle is not None:
+            self.w_main = arrays.seg_rle.shape[1]
+            self.Wmode = -(-self.seg // (32 // self.w_main))
+        else:
+            self.w_main = 32 // (-(-self.seg // self.W))
+            self.Wmode = self.W
         self.off_syms = self.W
         self.off_mk = self.W + self.Wsym
         self.off_mck = self.off_mk + self.Wmk
@@ -200,15 +224,58 @@ def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
             & jnp.uint32((1 << w) - 1)).astype(jnp.int32)
 
 
+def _vrle_ws(nsym):
+    """Per-segment RLE symbol width (serve-side twin of
+    build_ops._vrle_ws): ceil(log2(max(nsym, 2))) capped at 6."""
+    n = nsym.astype(jnp.int32)
+    return (1 + (n > 2).astype(jnp.int32) + (n > 4) + (n > 8) + (n > 16)
+            + (n > 32)).astype(jnp.int32)
+
+
+def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
+                        geom: "_VsegGeom") -> jax.Array:
+    """Decode RLE-mode rows to the per-lane LOCAL code grid int32[B, seg]:
+    unpack the u8 slots (local_sym << lenbits | len, len 0 = padding),
+    scatter each slot's symbol at its start position and forward-fill
+    (cummax of (start << 8 | sym+1)).  Position 0 of every real segment
+    starts a slot, so real positions always fill; tail-pad rows decode to
+    an arbitrary present code (same contract as the fixed-width tiers)."""
+    seg = geom.seg
+    A_bytes = geom.W * 4
+    B = row.shape[0]
+    k = np.arange(A_bytes)
+    widx = jnp.asarray((k // 4).astype(np.int32))
+    shift = jnp.asarray(((k % 4) * 8).astype(np.uint32))
+    slots = (row[:, widx] >> shift[None, :]) & jnp.uint32(0xFF)
+    ws = _vrle_ws(arrays.seg_nsym[s])
+    lenbits = (8 - ws).astype(jnp.uint32)[:, None]
+    lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)
+    lsym = (slots >> lenbits).astype(jnp.int32)
+    slen = (slots & lmask).astype(jnp.int32)
+    starts = jnp.cumsum(slen, axis=1) - slen
+    rowb = jax.lax.broadcasted_iota(jnp.int32, slots.shape, 0)
+    tgt = jnp.where(slen > 0, jnp.minimum(starts, seg), seg)
+    pk = (starts << 8) | (lsym + 1)
+    z = jnp.zeros((B, seg + 1), jnp.int32).at[rowb, tgt].set(
+        pk, mode="drop")[:, :seg]
+    filled = jax.lax.cummax(z, axis=1)
+    return jnp.maximum(filled & 0xFF, 1) - 1
+
+
 def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
     """(codes int32[B, SEG] in PER-LANE space, is_side bool[B], main row
     uint32[B, W+Wsym]): one main row gather — which also carries the
     symbol list — plus a lax.cond side gather only when some lane's
-    segment lives in the overflow table."""
+    segment lives in the overflow table.  vrle rows additionally decode
+    their RLE mode in-register (zero extra gathers)."""
     geom = _vseg_geom(arrays)
     seg = geom.seg
     row = jnp.take(arrays.bwt, s, axis=0)             # [B, total] rows
-    g = _decode_static(row[:, :geom.W], geom.w_main, seg)
+    g = _decode_static(row[:, :geom.Wmode], geom.w_main, seg)
+    if arrays.seg_rle is not None:
+        g_rle = _vrle_grid_from_row(arrays, row, s, geom)
+        mode_rle = arrays.seg_woff[s] < 0
+        g = jnp.where(mode_rle[:, None], g_rle, g)
     ovf = arrays.seg_woff[s]
     is_side = ovf > 0
     if arrays.seg_ovf.shape[0] > 1:
@@ -256,7 +323,7 @@ def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
     seg = seg_size(arrays)
     s = r // seg
     off = r - s * seg
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         segdata = _gather_segments_vseg(arrays, s)
         return jnp.take_along_axis(segdata, off[:, None], axis=1)[:, 0]
     if not is_packed(arrays):
@@ -276,7 +343,7 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
     gather stream fewer per rank); vseg stores the relative row INSIDE
     the serving row (generic callers pay one row gather here — the hot
     paths share the row they already gathered)."""
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         row = jnp.take(arrays.bwt, s, axis=0)
         return _vseg_base_from_row(arrays, row, s, c)
     if arrays.occ_ckpt.dtype == jnp.uint16:
@@ -309,7 +376,7 @@ def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
 
 def _occ_dense(arrays: FMArrays, cd: jax.Array, r: jax.Array) -> jax.Array:
     """occ for dense codes; cd < 0 counts nothing."""
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         return _occ_dense_vseg(arrays, cd, r.astype(jnp.int32))
     seg = seg_size(arrays)
     n_rows_total = n_segments(arrays) * seg
@@ -469,7 +536,7 @@ def lf_step(arrays: FMArrays, r: jax.Array) -> jax.Array:
 def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """bool[B]: is row r mark-sampled?"""
     seg = seg_size(arrays)
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         row = jnp.take(arrays.bwt, r // seg, axis=0)
         bit, _ = _vseg_marks_from_row(arrays, row, r)
         return bit
@@ -482,7 +549,7 @@ def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
 def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """#marked rows before row r (index into mark_vals)."""
     seg = seg_size(arrays)
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         row = jnp.take(arrays.bwt, r // seg, axis=0)
         _, grank = _vseg_marks_from_row(arrays, row, r)
         return grank
@@ -500,9 +567,45 @@ def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
     return base + cnt_full + cnt_part
 
 
+def mark_offset(arrays: FMArrays, granks: jax.Array) -> jax.Array:
+    """Decode the stored text offset for mark rank g (int32[B]).
+
+    The packed store (build_ops.mark_pack_geom / _pack_mark_vals) keeps
+    grid marks as k = offset // period in `bits`-wide bit slots and the
+    few non-grid marks (doc starts/SEOFs) as k = exc_base + j indexes
+    into the int32 exception region appended to the same uint32 array;
+    decode is two word gathers + shifts, executed ONCE per locate result
+    (never inside the walk loop).  Legacy indexes (mark_meta None) store
+    raw int32 offsets."""
+    if arrays.mark_meta is None:
+        return arrays.mark_vals[granks]
+    mm = arrays.mark_meta
+    bits = mm[0]
+    exc_base = mm[1]
+    period = mm[2]
+    exc_off = mm[3]
+    cap = mm[4]
+    g = jnp.clip(granks, 0, cap - 1)
+    bp = g * bits
+    wi = bp >> 5
+    sh = (bp & 31).astype(jnp.uint32)
+    w1 = arrays.mark_vals[wi]
+    w2 = arrays.mark_vals[wi + 1]
+    lo = w1 >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   w2 << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    mask = (jnp.uint32(1) << bits.astype(jnp.uint32)) - jnp.uint32(1)
+    k = ((lo | hi) & mask).astype(jnp.int32)
+    is_exc = k >= exc_base
+    total = arrays.mark_vals.shape[0]
+    eidx = jnp.clip(exc_off + (k - exc_base), 0, total - 1)
+    exc = jax.lax.bitcast_convert_type(arrays.mark_vals[eidx], jnp.int32)
+    return jnp.where(is_exc, exc, k * period)
+
+
 def mark_value(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """Sampled text offset stored for marked row r (undefined if unmarked)."""
-    return arrays.mark_vals[mark_rank(arrays, r)]
+    return mark_offset(arrays, mark_rank(arrays, r))
 
 
 def lf_grank_step(arrays: FMArrays, r: jax.Array):
@@ -517,7 +620,7 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
     s = r // seg
     off = r - s * seg
 
-    if is_vseg(arrays):
+    if is_row_tier(arrays):
         # ONE-row walk step: codes, the symbol map, the occ base, the
         # mark bit AND the mark rank all come from the same gathered row
         # (plus the small L1 point) — 5 gather streams collapsed to 2
@@ -561,4 +664,4 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
 def lf_mark_step(arrays: FMArrays, r: jax.Array):
     """lf_grank_step + immediate mark-value resolution (legacy wrapper)."""
     lf, bit, grank = lf_grank_step(arrays, r)
-    return lf, bit, arrays.mark_vals[grank]
+    return lf, bit, mark_offset(arrays, grank)

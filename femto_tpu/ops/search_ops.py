@@ -145,7 +145,7 @@ def locate_rows(arrays: FMArrays, mark_period: int, rows: jax.Array):
     _, _, granks, steps, done = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rows, granks0, steps0, done0)
     )
-    offs = arrays.mark_vals[granks] + steps
+    offs = R.mark_offset(arrays, granks) + steps
     return jnp.where(done, offs, -1)
 
 
@@ -196,8 +196,8 @@ _locate_rows_jit = jax.jit(locate_rows, static_argnums=(1,))
 
 
 @jax.jit
-def _locate_epilogue(mark_vals, granks, stepv, done):
-    offs = mark_vals[granks] + stepv
+def _locate_epilogue(arrays, granks, stepv, done):
+    offs = R.mark_offset(arrays, granks) + stepv
     return jnp.where(done, offs, -1)
 
 
@@ -257,7 +257,7 @@ def locate_rows_phased(arrays: FMArrays, mark_period: int, rows: jax.Array,
             rows_w = rows_w.at[sel].set(r2)
             stepcnt = stepcnt.at[sel].set(c2)
         walked += steps_now
-    return _locate_epilogue(arrays.mark_vals, granks, stepv, done)
+    return _locate_epilogue(arrays, granks, stepv, done)
 
 
 @functools.partial(jax.jit, static_argnames=("mark_period",))
@@ -335,7 +335,7 @@ def locate_rows_pyramid(arrays: FMArrays, mark_period: int,
     st = (rows_w, granks, stepv, stepcnt, done)
     st = jax.lax.cond(jnp.any(~done), cleanup, lambda s: s, st)
     _, granks, stepv, _, done = st
-    offs = arrays.mark_vals[granks] + stepv
+    offs = R.mark_offset(arrays, granks) + stepv
     return jnp.where(done, offs, -1)
 
 

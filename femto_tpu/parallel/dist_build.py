@@ -114,16 +114,10 @@ def _aux_local_block(doc_starts, gidx, *, n: int, mark_period: int,
     if mark_period == 0:
         marked = jnp.zeros((m,), bool)
     else:
-        carry = doc_starts[
-            jnp.maximum(
-                jnp.searchsorted(doc_starts, me * m, side="right") - 1, 0
-            )
-        ]
-        dstart = jnp.maximum(
-            jax.lax.cummax(jnp.where(is_start, gidx, 0)), carry
-        )
-        doc_off = gidx - dstart
-        marked = is_start | (tag > 0) | (doc_off % mark_period == 0)
+        # GRID sampling (round 4, matching build_ops._aux_positions):
+        # global positions on the period grid plus doc starts/SEOFs, so
+        # the mark-value store packs k = value // period
+        marked = is_start | (tag > 0) | (gidx % mark_period == 0)
     valid = gidx < n
     marked = marked & valid
     tag = jnp.where(valid, tag, 0)
@@ -938,11 +932,14 @@ def _shard_occ_base(bwt_block, used, *, seg: int, dense: bool, axis: str):
 
 
 def _shard_marks(sa_block, a_row_block, *, seg: int, ndocs: int,
-                 cap_local: int, axis: str):
+                 cap_local: int, mark_geom, axis: str):
     """Per-shard mark packaging: (mark_bits, mark_ckpt GLOBAL-base,
-    mark_base, mark_vals local compaction, doc_seof_rows, n_marks,
-    mark_overflow)."""
-    from ..ops.build_ops import _mark_rank_select
+    mark_base, mark_vals local BIT-PACKED compaction (grid store,
+    build_ops.mark_pack_geom), doc_seof_rows, n_marks, mark_overflow).
+
+    mark_geom: (bits, exc_base, exc_cap, n_words, period) — static packed
+    geometry shared by every shard (exc_base derives from the global n)."""
+    from ..ops.build_ops import _mark_rank_select, _pack_mark_vals
 
     D = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -969,6 +966,13 @@ def _shard_marks(sa_block, a_row_block, *, seg: int, ndocs: int,
     # ops, no m-row scatter
     mvalid, mrow = _mark_rank_select(mark_bits, local_marks, cap_local, m)
     mark_vals = jnp.where(mvalid, sa_block[mrow], -1)
+    bits_g, exc_base, exc_cap, n_words, period = mark_geom
+    if period == 0:
+        mark_vals = jnp.zeros((2,), jnp.uint32)
+    else:
+        mark_vals, _ = _pack_mark_vals(
+            mark_vals, cap=cap_local, bits=bits_g, exc_base=exc_base,
+            exc_cap=exc_cap, period=period, n_words=n_words)
     mark_overflow = jnp.maximum(local_marks - cap_local, 0)
 
     # per-doc SEOF rows: local partial + psum merge
@@ -986,7 +990,7 @@ def _shard_marks(sa_block, a_row_block, *, seg: int, ndocs: int,
 
 def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
                    n_pad: int, seg: int, ndocs: int, cap_local: int,
-                   tier: str, K: int, axis: str):
+                   mark_geom, tier: str, K: int, axis: str):
     """Per-shard index packaging: each shard packages its own row range —
     the TPU analog of the reference's per-bin write_index_files_node
     (dcx.hh:4930-5290); only prefix bases and tiny tables cross the ICI.
@@ -1041,7 +1045,8 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
     # --- marks: bitmap + GLOBAL-count checkpoints + local value store ---
     (mark_bits, mark_ckpt, _mark_base, mark_vals, doc_seof_rows, n_marks,
      mark_of) = _shard_marks(sa_block, a_row_block, seg=seg, ndocs=ndocs,
-                             cap_local=cap_local, axis=axis)
+                             cap_local=cap_local, mark_geom=mark_geom,
+                             axis=axis)
 
     return (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt, mark_vals,
             doc_seof_rows, n_marks, mark_of)
@@ -1077,8 +1082,8 @@ def _vseg_stats_shard(bwt_block, used, *, seg: int, K: int, axis: str):
 
 def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
                         syms_blk, nsym_blk, *, seg: int, ndocs: int,
-                        cap_local: int, K: int, w_main: int, max_ovf: int,
-                        axis: str):
+                        cap_local: int, mark_geom, K: int, w_main: int,
+                        max_ovf: int, axis: str):
     """Per-shard vseg (compressed serving tier) packaging: the sharded
     edition of build_ops._build_vseg — each shard assembles its OWN
     serving rows [codes @ w_main local | symbol list | mark words |
@@ -1097,7 +1102,7 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
     from ..fmindex import L1_GROUP
     from ..ops.build_ops import (
         VSEG_SMAX, _to_u8, _to_u16, _vseg_pack_uniform, _vseg_rel_words,
-        _vseg_sym_words, _vseg_width_for,
+        _vseg_sym_words, _vseg_width_for, vseg_sym_store,
     )
 
     m = sa_block.shape[0]
@@ -1111,7 +1116,8 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
 
     (mark_bits, mark_ckpt, mark_base, mark_vals, doc_seof_rows, n_marks,
      mark_of) = _shard_marks(sa_block, a_row_block, seg=seg, ndocs=ndocs,
-                             cap_local=cap_local, axis=axis)
+                             cap_local=cap_local, mark_geom=mark_geom,
+                             axis=axis)
 
     from ..alphabet import ALPHA_SIZE
 
@@ -1124,7 +1130,10 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
     w_side, _Wside = _vseg_width_for(seg, 9 if wide else 8)
     bwt_main = _vseg_pack_uniform(codes2d, syms_blk, nsym_blk, seg=seg,
                                   w=w_main, SMAX=VSEG_SMAX, side=False)
-    sym_words = _vseg_sym_words(syms_blk, wide)
+    # right-sized stored symbol list (covered segments consult at most
+    # min(SMAX, 2^w_main) entries — build_ops._build_vseg round 4)
+    s_store = vseg_sym_store(w_main, wide)
+    sym_words = _vseg_sym_words(syms_blk[:, :s_store], wide)
     mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
     rel_words = _vseg_rel_words(occ_rel)
     bwt_main = jnp.concatenate(
@@ -1150,7 +1159,7 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
 
     seg_nsym = _to_u8(nsym_blk)
     seg_syms = (_to_u16 if wide else _to_u8)(
-        jnp.zeros((1, VSEG_SMAX), jnp.int32))
+        jnp.zeros((1, s_store), jnp.int32))
     # 1-row dummies that preserve the dtype/shape dispatch (rank.is_vseg,
     # seg_size); mark_ckpt carries the shard's global mark base
     occ_dummy = jnp.zeros((1, K), jnp.uint16)
@@ -1284,13 +1293,23 @@ def build_index_sharded(
         _, w_main, ci = best
         max_ovf = int(oc[:, ci].max())
 
+    from ..ops.build_ops import mark_pack_geom
+
     mark_cap_retries = 0
     while True:
+        # packed mark-value geometry is shared by every shard (exc_base
+        # derives from the global n); recompute when cap_local grows
+        if mark_period == 0:
+            mark_geom = (1, 1, 1, 1, 0)
+        else:
+            bits_g, exc_base, exc_cap, n_words = mark_pack_geom(
+                n, mark_period, ndocs, cap_local)
+            mark_geom = (bits_g, exc_base, exc_cap, n_words, mark_period)
         if tier == "vseg":
             fn = functools.partial(
                 _package_shard_vseg, seg=seg, ndocs=ndocs,
-                cap_local=cap_local, K=K, w_main=w_main, max_ovf=max_ovf,
-                axis=axis,
+                cap_local=cap_local, mark_geom=mark_geom, K=K,
+                w_main=w_main, max_ovf=max_ovf, axis=axis,
             )
             mapped = jax.shard_map(
                 fn, mesh=mesh,
@@ -1309,7 +1328,8 @@ def build_index_sharded(
         else:
             fn = functools.partial(
                 _package_shard, n_pad=n_pad, seg=seg, ndocs=ndocs,
-                cap_local=cap_local, tier=tier, K=K, axis=axis,
+                cap_local=cap_local, mark_geom=mark_geom, tier=tier, K=K,
+                axis=axis,
             )
             l1_spec = P() if tier == "full" else P(axis, None)
             mapped = jax.shard_map(
@@ -1349,6 +1369,9 @@ def build_index_sharded(
         doc_seof_rows=doc_seof_rows,
         alpha_map=put_global(amap, rep),
         alpha_rev=put_global(arev, rep),
+        mark_meta=put_global(
+            np.array([mark_geom[0], mark_geom[1], mark_geom[4],
+                      mark_geom[3], cap_local], np.int32), rep),
         **vseg_extra,
     )
     meta = FMMeta(

@@ -159,7 +159,6 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
     """Sharded locate: LF-walk to marked rows with mark metadata sharded."""
     seg = R.seg_size(arrays)
     me = jax.lax.axis_index(axis)
-    mv_local = arrays.mark_vals.shape[0]  # per-shard value store capacity
 
     def mark_info(r):
         s = r // seg
@@ -174,8 +173,8 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
             bit, grank = R._vseg_marks_from_row(arrays, row, r)
             is_m = jax.lax.psum(
                 jnp.where(mine, bit.astype(jnp.int32), 0), axis) > 0
-            lrank = jnp.clip(grank - arrays.mark_ckpt[0], 0, mv_local - 1)
-            v = arrays.mark_vals[lrank]
+            lrank = grank - arrays.mark_ckpt[0]
+            v = R.mark_offset(arrays, lrank)
             mv = jax.lax.psum(jnp.where(mine, v, 0), axis)
             return is_m, mv
         words = jnp.take(arrays.mark_bits, sl, axis=0)
@@ -192,8 +191,8 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
         # mark_vals is a PER-SHARD compaction (build_index_sharded's
         # _package_shard): the row's owner also owns its value at
         # grank - (global marks before this shard) = grank - mark_ckpt[0].
-        lrank = jnp.clip(grank - arrays.mark_ckpt[0], 0, mv_local - 1)
-        v = arrays.mark_vals[lrank]
+        lrank = grank - arrays.mark_ckpt[0]
+        v = R.mark_offset(arrays, lrank)
         mv = jax.lax.psum(jnp.where(mine, v, 0), axis)
         return is_m, mv
 
@@ -318,7 +317,6 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
     B_local = rows_local.shape[0]
     seg = R.seg_size(arrays)
     rows_per_shard = nseg_local * seg
-    mv_local = arrays.mark_vals.shape[0]
     rid_local = me * B_local + jnp.arange(B_local, dtype=jnp.int32)
 
     def owner_answer(r):
@@ -346,8 +344,7 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
             ).astype(jnp.int32)
             lf = arrays.C[c] + base + within
             bit, grank = R._vseg_marks_from_row(arrays, rowm, r)
-            mv = arrays.mark_vals[jnp.clip(grank - arrays.mark_ckpt[0],
-                                           0, mv_local - 1)]
+            mv = R.mark_offset(arrays, grank - arrays.mark_ckpt[0])
             return lf, bit, mv
         segdata = R.gather_segments(arrays, sl)
         c = segdata[jnp.arange(r.shape[0]), jnp.clip(off, 0, seg - 1)]
@@ -369,8 +366,7 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
                  - jnp.uint32(1))
         part = jax.lax.population_count(word & pmask).astype(jnp.int32)
         grank = arrays.mark_ckpt[sl] + cnt + part
-        mv = arrays.mark_vals[jnp.clip(grank - arrays.mark_ckpt[0],
-                                       0, mv_local - 1)]
+        mv = R.mark_offset(arrays, grank - arrays.mark_ckpt[0])
         return lf, bit, mv
 
     def body(i, st):
@@ -412,6 +408,8 @@ def _specs_for_arrays(axis: str, arrays: FMArrays = None):
     per-segment side arrays; its occ_ckpt/mark_bits/seg_syms are 1-row
     dtype/shape markers (replicated) and mark_ckpt is the [D] per-shard
     global mark base (_package_shard_vseg)."""
+    mm_spec = (None if (arrays is not None and arrays.mark_meta is None)
+               else P())
     if arrays is not None and R.is_vseg(arrays):
         return FMArrays(
             bwt=P(axis, None),
@@ -429,6 +427,7 @@ def _specs_for_arrays(axis: str, arrays: FMArrays = None):
             seg_nsym=P(axis),
             seg_woff=P(axis),
             seg_syms=P(),
+            mark_meta=mm_spec,
         )
     l1_spec = P()
     if arrays is not None and arrays.occ_l1.shape[0] > 1:
@@ -445,6 +444,7 @@ def _specs_for_arrays(axis: str, arrays: FMArrays = None):
         doc_seof_rows=P(),
         alpha_map=P(),
         alpha_rev=P(),
+        mark_meta=mm_spec,
     )
 
 

@@ -23,8 +23,13 @@ def test_device_build_matches_host(rng):
     np.testing.assert_array_equal(np.asarray(ih.arrays.mark_ckpt), np.asarray(idv.arrays.mark_ckpt))
     nm = ih.meta.n_marks
     assert idv.meta.n_marks == nm
+    # host and device pack mark values with identical geometry, so the
+    # packed stores (and their int32[5] geometry headers) match verbatim
     np.testing.assert_array_equal(
-        np.asarray(ih.arrays.mark_vals)[:nm], np.asarray(idv.arrays.mark_vals)[:nm]
+        np.asarray(ih.arrays.mark_meta), np.asarray(idv.arrays.mark_meta)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ih.arrays.mark_vals), np.asarray(idv.arrays.mark_vals)
     )
     np.testing.assert_array_equal(
         np.asarray(ih.arrays.doc_seof_rows), np.asarray(idv.arrays.doc_seof_rows)
@@ -271,3 +276,105 @@ def test_alpha_path_matches_histogram_path(rng):
                 continue
             np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2),
                                           err_msg=f"{tier}.{f}")
+
+
+def test_packed_mark_store_roundtrip(rng):
+    """Device pack -> rank.mark_offset decode is the identity on every
+    slot, for grid values, exceptions (non-grid doc starts/SEOFs), and
+    empty slots alike."""
+    import jax.numpy as jnp
+    from femto_tpu.fmindex import FMArrays
+    from femto_tpu.ops.build_ops import _pack_mark_vals, mark_pack_geom
+    from femto_tpu.ops.rank import mark_offset
+
+    n, period, ndocs = 1_000_000, 20, 50
+    cap = 512
+    bits, exc_base, exc_cap, n_words = mark_pack_geom(n, period, ndocs, cap)
+    vals = np.full(cap, -1, np.int32)
+    n_real = 300
+    # grid values (multiples of period) with scattered exceptions
+    vals[:n_real] = (
+        rng.integers(0, n // period, size=n_real).astype(np.int32) * period
+    )
+    exc_pos = rng.choice(n_real, size=40, replace=False)
+    vals[exc_pos] = rng.integers(0, n, size=40).astype(np.int32) | 1
+    packed, meta = _pack_mark_vals(
+        jnp.asarray(vals), cap=cap, bits=bits, exc_base=exc_base,
+        exc_cap=exc_cap, period=period, n_words=n_words)
+    dummy = jnp.zeros((1, 32), jnp.uint32)
+    arrays = FMArrays(
+        bwt=dummy, occ_ckpt=dummy, occ_l1=dummy, C=dummy,
+        mark_bits=dummy, mark_ckpt=dummy, mark_vals=packed,
+        doc_starts=dummy, doc_seof_rows=dummy, alpha_map=dummy,
+        alpha_rev=dummy, mark_meta=meta)
+    out = np.asarray(mark_offset(arrays, jnp.arange(n_real, dtype=jnp.int32)))
+    np.testing.assert_array_equal(out, vals[:n_real])
+
+    # host packing produces the identical store
+    from femto_tpu.ops.build_ops import pack_mark_vals_np
+    packed_np, meta_np = pack_mark_vals_np(
+        vals[:n_real].astype(np.int64), n=n, period=period, ndocs=ndocs,
+        cap=cap)
+    np.testing.assert_array_equal(np.asarray(packed), packed_np)
+    np.testing.assert_array_equal(np.asarray(meta), meta_np)
+
+
+def test_vrle_tier_matches(rng):
+    """vrle tier (RLE-slot rows + fixed-width fallback + side table) must
+    answer every query identically to the full tier, across run-heavy
+    text, binary bytes, constant docs, and byte-complete docs."""
+    import tempfile, os
+    from tests.oracle import naive_locate
+
+    docs = [
+        b"banana banana bananas in pajamas " * 40,
+        bytes(rng.integers(0, 256, size=6000).astype(np.uint8)),
+        b"vrle tier check",
+        bytes(range(256)),
+        b"a" * 2000,                      # one-run segments
+    ]
+    prepared = ft.prepare_documents(docs)
+    full = ft.build_index(prepared, seg=128, mark_period=8)
+    vr = ft.build_index(prepared, seg=128, mark_period=8, tier="vrle")
+    assert vr.arrays.seg_rle is not None
+    woff = np.asarray(vr.arrays.seg_woff)
+    assert (woff < 0).any(), "expected RLE-mode segments on run-heavy text"
+    pats = [b"banana", b"tier", b"\x00", b"zz", b"ck", bytes([7, 8, 9]),
+            b"aaaa", b"pajamas"]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(vr, pats))
+    assert ft.locate(vr, b"banana") == naive_locate(docs, b"banana")
+    for d in range(len(docs)):
+        assert ft.extract_document(vr, d) == docs[d]
+    f, l = ft.count_ranges(vr, [b"tier"])
+    ctx = ft.extract_context(vr, int(f[0]), before=5, pattern_len=4, after=6)
+    assert ctx == b"vrle tier check"
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "idx.ftpu")
+        vr.save_flat(p)
+        vr2 = ft.FMIndex.load(p)
+        assert vr2.arrays.seg_rle is not None
+        np.testing.assert_array_equal(ft.count(vr2, pats), ft.count(vr, pats))
+
+
+def test_vrle_tier_smaller_on_runs(rng):
+    """On run-structured text (the shape of real BWTs: mean run 3.5-4.2 on
+    code/prose) the vrle tier must beat the fixed-width vseg tier."""
+    words = [b"the ", b"of ", b"and ", b"compression ", b"index ",
+             b"segment ", b"query ", b"locate "]
+    docs = []
+    for _ in range(6):
+        docs.append(b"".join(words[j] for j in
+                             rng.integers(0, 8, size=4000)))
+    prepared = ft.prepare_documents(docs)
+    vr = ft.build_index(prepared, seg=512, mark_period=20, tier="vrle")
+    vs = ft.build_index(prepared, seg=512, mark_period=20, tier="vseg")
+    pats = [b"the compression", b"query locate", b"of and"]
+    np.testing.assert_array_equal(ft.count(vs, pats), ft.count(vr, pats))
+
+    def total_bytes(ix):
+        return sum(np.asarray(getattr(ix.arrays, f)).nbytes
+                   for f in ix.arrays._fields
+                   if getattr(ix.arrays, f) is not None)
+
+    assert total_bytes(vr) < total_bytes(vs), (total_bytes(vr),
+                                               total_bytes(vs))

@@ -56,7 +56,8 @@ def build_config(draw, prepared):
     """Draw the BUILD CONFIGURATION as hypothesis parameters (judge round-2:
     tier/pad_shape/locate must be fuzzed, not fixed, or configuration-
     specific bugs survive — e.g. the padded-index regex bug)."""
-    tier = draw(st.sampled_from(["full", "compact", "packed", "vseg"]))
+    tier = draw(st.sampled_from(["full", "compact", "packed", "vseg",
+                                 "vrle"]))
     pad = draw(st.sampled_from([None, 333]))
     locate = draw(st.sampled_from(["walk", "direct"]))
     kw = dict(tier=tier, locate=locate)
