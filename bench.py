@@ -175,7 +175,8 @@ def main():
     # every serving tier is timed and certified in the JSON line
     # (VERDICT round 3 weak #1); the headline stays BENCH_TIER
     tier_names = [
-        t for t in os.environ.get("BENCH_TIERS", "full,packed,vseg").split(",")
+        t for t in os.environ.get(
+            "BENCH_TIERS", "full,packed,vseg,vrle").split(",")
         if t]
     if tier not in tier_names:
         tier_names.append(tier)

@@ -258,6 +258,47 @@ def simulate(name, bwt, K, ndocs, S, mark_p=20):
         log(f"{'':>14}   d6(uni SMAX={SM})={d6[0]:.3f} (A={d6[1]}, "
             f"rle={d6[2]:.2f}, w={d6[3]:.2f}, ovf={d6[4]:.2f})")
 
+    # diet 7: vrle as implemented (u8 RLE at per-seg width | W(w_main) |
+    # side) PLUS a u16 slot mode (sym 6b | len 10b — no practical
+    # splitting) as a 4th per-segment encoding.  Uniform code area A.
+    w_seg7 = np.maximum(np.ceil(np.log2(np.maximum(nsym, 2))), 1).astype(int)
+    rle8 = np.zeros(n_seg, np.int64)
+    for ws in range(1, 7):
+        lenbits = 8 - ws
+        splits = np.maximum(-(-run_lens // ((1 << lenbits) - 1)) - 1, 0)
+        extra = np.bincount(seg_of_run, weights=splits, minlength=n_seg)
+        rle8 = np.where(w_seg7 == ws, runs_per_seg + extra.astype(np.int64),
+                        rle8)
+    SM7 = 64  # vrle symbol-list capacity
+    rle8_bytes = np.where(nsym <= SM7, rle8, 1 << 30)
+    rle16_bytes = np.where(nsym <= SM7, runs_per_seg * 2, 1 << 30)
+    d7 = {}
+    for use16 in (False, True):
+        best = None
+        for w_eff, Wm in [(32 // (-(-S // W_of(S, w))), W_of(S, w))
+                          for w in (1, 2, 3, 4, 5)]:
+            wbytes = np.where(nsym <= (1 << w_eff), Wm * 4, 1 << 30)
+            per_seg_best = np.minimum(rle8_bytes, wbytes)
+            if use16:
+                per_seg_best = np.minimum(per_seg_best, rle16_bytes)
+            for q in (50, 60, 70, 80, 90, 95, 99, 100):
+                A = int(-(-np.percentile(per_seg_best[
+                    per_seg_best < (1 << 30)], q) // 4) * 4) \
+                    if (per_seg_best < (1 << 30)).any() else Wm * 4
+                A = max(A, 4)
+                cov = per_seg_best <= A
+                s_store = SM7
+                bytes_w = (n_seg * (A + s_store * sym_b + S // 8 + 4 + relw)
+                           + int((~cov).sum()) * Wside * 4)
+                tot = bytes_w / n + mv_packed + l1 + mck
+                if best is None or tot < best[0]:
+                    best = (tot, w_eff, A, float((~cov).mean()))
+        d7[use16] = best
+    log(f"{'':>14}   d7(vrle)={d7[False][0]:.3f} (w={d7[False][1]}, "
+        f"A={d7[False][2]}B, ovf={d7[False][3]:.2f}) | "
+        f"d7+u16={d7[True][0]:.3f} (w={d7[True][1]}, A={d7[True][2]}B, "
+        f"ovf={d7[True][3]:.2f})")
+
     # diet 3: d1 + sparse rel checkpoints: a FULL uint16 rel row only on
     # every A-th segment (anchor); others rebuild from the anchor plus the
     # per-segment in-row symbol counts of the <A intermediate rows (which

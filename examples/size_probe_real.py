@@ -72,6 +72,18 @@ def main():
     corpora["repo(py+md)"] = prepared2
     log(f"repo: {prepared2.n/1e6:.2f}M symbols, {prepared2.num_docs} docs")
 
+    # genuine English prose (python documentation topics)
+    try:
+        import pydoc_data.topics as _topics
+        buf = ("\n".join(_topics.topics.values())).encode()
+        nb = int(args.max_mb * (1 << 20))
+        pieces = [buf[i:i + 65536] for i in range(0, min(len(buf), nb),
+                                                  65536)]
+        corpora["english(prose)"] = ft.prepare_documents(pieces)
+        log(f"english: {corpora['english(prose)'].n/1e6:.2f}M symbols")
+    except ImportError:
+        pass
+
     # DNA (uniform ACGT) + zipf-English synthetics for comparability with
     # the PERF.md round-3 table
     rng = np.random.default_rng(7)

@@ -51,6 +51,19 @@ DEFAULT_MARK_PERIOD = 20
 L1_GROUP = 16  # segments per L1 checkpoint group (compact tier)
 
 
+def l1_group_for(seg: int) -> int:
+    """L1 group size for a segment length: the uint16 relative
+    checkpoints must stay below 65536 within one group, so large
+    segments halve the group (seg=4096 -> 8; derived on the serving
+    side purely from array shapes, rank._l1_grp)."""
+    g = L1_GROUP
+    while g > 1 and seg * g > 0xFFFF:
+        g //= 2
+    if seg * g > 0xFFFF:
+        raise ValueError("segment too large for uint16 checkpoints")
+    return g
+
+
 # Host->device text uploads dominate chunked big-build time on
 # remote-attached TPUs (measured ~30 MB/s through the tunnel, PERF.md), so
 # the text never ships as int32:
@@ -177,10 +190,15 @@ class FMArrays(NamedTuple):
     # int32 mark_vals
     mark_meta: Optional[jax.Array] = None
     # vrle tier marker (rank.is_vrle): int32[1, w_main] dummy — presence
-    # means the row's code area is per-segment RLE slots (seg_woff == -1)
+    # means the row's code area is per-segment RLE slots (seg_woff <= -1)
     # or fixed w_main-bit codes (seg_woff == 0); shape carries the static
     # W-mode width
     seg_rle: Optional[jax.Array] = None
+    # vrle continuation table: uint32[n_cont + 1, Cw] (row 0 dummy) — RLE
+    # segments whose slots exceed the main code area continue in one of
+    # these rows (seg_woff == -(1 + cont_row)); lets the main area sit at
+    # the slot-count MEDIAN instead of ~P95
+    seg_cont: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)

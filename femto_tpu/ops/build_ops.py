@@ -165,8 +165,8 @@ def _hist_stage(bwt_chars, *, n_seg, seg, alpha=ALPHA_SIZE):
     return _hist_core(b2.reshape(nchunks, CH, seg), alpha)[:n_seg]
 
 
-@functools.partial(jax.jit, static_argnames=("compact",))
-def _ckpt_stage(per_seg, *, compact=False):
+@functools.partial(jax.jit, static_argnames=("compact", "group"))
+def _ckpt_stage(per_seg, *, compact=False, group=0):
     """C array + exclusive per-segment checkpoints from the histogram."""
     n_seg, alpha = per_seg.shape
     counts = per_seg.sum(axis=0)
@@ -183,9 +183,11 @@ def _ckpt_stage(per_seg, *, compact=False):
         return C, occ_ckpt, jnp.zeros((1, alpha), jnp.int32)
     from ..fmindex import L1_GROUP
 
-    n_grp = n_seg // L1_GROUP
-    occ_l1 = occ_ckpt[:: L1_GROUP][:n_grp]
-    rel = occ_ckpt - jnp.repeat(occ_l1, L1_GROUP, axis=0)[:n_seg]
+    if group == 0:
+        group = L1_GROUP
+    n_grp = n_seg // group
+    occ_l1 = occ_ckpt[::group][:n_grp]
+    rel = occ_ckpt - jnp.repeat(occ_l1, group, axis=0)[:n_seg]
     return C, rel.astype(jnp.uint16), occ_l1
 
 
@@ -193,14 +195,38 @@ def _ckpt_stage(per_seg, *, compact=False):
     jax.jit, static_argnames=("n", "n_seg", "seg", "compact", "alpha")
 )
 def _occ_stage(bwt_chars, *, n, n_seg, seg, compact=False, alpha=ALPHA_SIZE):
+    from ..fmindex import l1_group_for
     per_seg = _hist_stage(bwt_chars, n_seg=n_seg, seg=seg, alpha=alpha)
-    return _ckpt_stage(per_seg, compact=compact)
+    return _ckpt_stage(per_seg, compact=compact,
+                       group=l1_group_for(seg) if compact else 0)
 
 
 VSEG_SMAX = 32  # per-segment symbol-list capacity; K_s > SMAX -> identity
 
 _to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
 _to_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
+
+
+@functools.partial(jax.jit, static_argnames=("SMAX",))
+def _stats_from_hist(per_seg_used, *, SMAX):
+    """Per-segment sorted distinct codes from the dense histogram the
+    checkpoint stage already computed: presence -> rank -> scatter of the
+    column index.  Replaces the O(n) per-segment sort of
+    _vseg_stats_stage (673 ms -> ~10 ms at 128 MiB, PERF.md round 4).
+    Returns (syms int32[n_seg, SMAX] (pad = 2^20), nsym int32[n_seg],
+    255 sentinel for > SMAX)."""
+    PAD = 1 << 20
+    n_seg = per_seg_used.shape[0]
+    pres = per_seg_used > 0
+    nsym = jnp.sum(pres.astype(jnp.int32), axis=1)
+    rank = jnp.cumsum(pres.astype(jnp.int32), axis=1) - 1
+    rowi = jax.lax.broadcasted_iota(jnp.int32, pres.shape, 0)
+    codes = jax.lax.broadcasted_iota(jnp.int32, pres.shape, 1)
+    tgt = jnp.where(pres & (rank < SMAX), rank, SMAX)
+    syms = jnp.full((n_seg, SMAX + 1), PAD, jnp.int32).at[
+        rowi, tgt].set(codes, mode="drop")[:, :SMAX]
+    nsym_out = jnp.where(nsym > SMAX, 255, nsym)
+    return syms, nsym_out
 
 
 @functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
@@ -291,9 +317,11 @@ def _vseg_pack_uniform(codes2d, syms, nsym, *, seg, w, SMAX, side):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
-def _codes2d_stage(bwt_chars, alpha_map, *, n, n_seg, seg):
-    """Dense global codes reshaped to [n_seg, seg]; tail pad > 2^20."""
-    codes = alpha_map[bwt_chars]
+def _codes2d_stage(bwt_chars, used, *, n, n_seg, seg):
+    """Dense global codes reshaped to [n_seg, seg]; tail pad > 2^20.
+    The symbol->code map is the _map_codes compare-reduce (a table
+    gather over [n] measured 1.3 s/128 MiB, PERF.md round 4)."""
+    codes = _map_codes(bwt_chars, used)
     full = jnp.full((n_seg * seg,), (1 << 20) + 7, jnp.int32)
     full = jax.lax.dynamic_update_slice(full, codes, (0,))
     return full.reshape(n_seg, seg)
@@ -382,16 +410,16 @@ def _build_vseg(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     Returns (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, seg_nsym, seg_woff,
     seg_syms)."""
     K = int(used.shape[0])
-    alpha_map_np = np.full(ALPHA_SIZE, -1, np.int32)
-    alpha_map_np[used] = np.arange(K, dtype=np.int32)
-    alpha_map = jnp.asarray(alpha_map_np)
+    used_dev = jnp.asarray(used)
 
-    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
+    from ..fmindex import l1_group_for
+    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True,
+                                      group=l1_group_for(seg))
 
     wide = K > 256
     w_side, Wside = _vseg_width_for(seg, 9 if wide else 8)
-    codes2d = _codes2d_stage(bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg)
-    syms_i32, nsym_i32 = _vseg_stats_stage(codes2d, seg=seg, SMAX=VSEG_SMAX)
+    codes2d = _codes2d_stage(bwt_chars, used_dev, n=n, n_seg=n_seg, seg=seg)
+    syms_i32, nsym_i32 = _stats_from_hist(per_seg_used, SMAX=VSEG_SMAX)
     nsym_np = np.asarray(nsym_i32)                     # [n_seg] tiny pull
 
     best = None
@@ -522,15 +550,19 @@ def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
         rowi = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 0)
         brk = jnp.concatenate(
             [jnp.ones((CH, 1), bool), lc[:, 1:] != lc[:, :-1]], axis=1)
-        run_id = jnp.cumsum(brk.astype(jnp.int32), axis=1) - 1
-        run_len = (
-            jnp.zeros((CH, seg), jnp.int32).at[rowi, run_id].add(1)
-        )
         run_start = jax.lax.cummax(jnp.where(brk, iota, 0), axis=1)
-        run_end = run_start + jnp.take_along_axis(run_len, run_id, axis=1)
         is_slot = brk | ((iota - run_start) % maxlen[:, None] == 0)
         slot_idx = jnp.cumsum(is_slot.astype(jnp.int32), axis=1) - 1
-        slot_len = jnp.minimum(run_end - iota, maxlen[:, None])
+        # a slot ends at the NEXT slot start (run breaks and maxlen
+        # multiples are both slot starts, so lengths stay <= maxlen):
+        # suffix-min of slot-start positions, shifted left — no run-length
+        # scatter and no in-row gather (3.2 s -> ~0.1 s at 128 MiB)
+        idxs = jnp.where(is_slot, iota, seg)
+        sm = jnp.flip(jax.lax.cummin(jnp.flip(idxs, axis=1), axis=1),
+                      axis=1)
+        nxt = jnp.concatenate(
+            [sm[:, 1:], jnp.full((CH, 1), seg, jnp.int32)], axis=1)
+        slot_len = nxt - iota
         byte = ((lc.astype(jnp.uint32) << lenbits[:, None])
                 | slot_len.astype(jnp.uint32))
         tgt = jnp.where(is_slot & (slot_idx < A_bytes), slot_idx, A_bytes)
@@ -559,16 +591,19 @@ def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
 
 def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
               n_seg: int, wide: bool, Wside: int):
-    """Host argmin over (w_main, A_words): per-segment mode = RLE u8
-    slots if the segment's (split-adjusted) run count fits the code
-    area, else fixed w_main-bit codes if its alphabet fits, else the
-    side table.  Returns (w_main, A_words, s_store, rle_np, wfit_np)."""
+    """Host argmin over (w_main, A_words, C_words): per-segment mode =
+    RLE u8 slots if the segment's (split-adjusted) run count fits the
+    main code area (slots <= 4A), RLE + ONE continuation row if it fits
+    4(A + C), else fixed w_main-bit codes if its alphabet fits, else the
+    side table.  Continuations let A sit near the slot-count median
+    instead of ~P95 (round 4: the uniform code area was the dominant
+    cost on real text).  Returns (w_main, A_words, C_words, s_store,
+    rle_np, cont_np, wfit_np)."""
     sym_b = 2 if wide else 1
     per = 2 if wide else 4
     rle_alpha = (nsym_np <= VRLE_SMAX) & (nsym_np < 255)
     best = None
-    # A candidates: the W row width plus slot-count percentiles
-    pcts = np.percentile(slots_np, [50, 60, 70, 80, 90, 95, 99]) \
+    pcts = np.percentile(slots_np, [30, 40, 50, 60, 70, 80, 90, 95, 99]) \
         if n_seg else np.array([seg])
     for w_eff, Wm in vseg_width_candidates(seg):
         wfit = (nsym_np <= (1 << w_eff)) & (nsym_np < 255)
@@ -579,17 +614,24 @@ def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
         for A in sorted(a_cands):
             if A > max(seg // 2, Wm):
                 continue
-            rle = rle_alpha & (slots_np <= A * 4)
-            cov = rle | wfit
-            n_cov = int(cov.sum())
-            smax_cov = int(nsym_np[cov].max()) if n_cov else 2
-            s_store = -(-min(max(smax_cov, 2), VRLE_SMAX) // per) * per
-            bytes_w = (n_seg * (A * 4 + s_store * sym_b)
-                       + int((~cov).sum()) * Wside * 4)
-            if best is None or bytes_w < best[0]:
-                best = (bytes_w, w_eff, A, s_store, rle, wfit)
-    _, w_main, A_words, s_store, rle_np, wfit_np = best
-    return w_main, A_words, s_store, rle_np, wfit_np
+            for C in (0, A // 2, A, 2 * A):
+                if C > seg // 4 and C > A:
+                    continue
+                rle = rle_alpha & (slots_np <= A * 4)
+                cont = (rle_alpha & ~rle
+                        & (slots_np <= (A + C) * 4)) if C else \
+                    np.zeros_like(rle)
+                cov = rle | cont | wfit
+                n_cov = int(cov.sum())
+                smax_cov = int(nsym_np[cov].max()) if n_cov else 2
+                s_store = -(-min(max(smax_cov, 2), VRLE_SMAX) // per) * per
+                bytes_w = (n_seg * (A * 4 + s_store * sym_b)
+                           + int(cont.sum()) * C * 4
+                           + int((~cov).sum()) * Wside * 4)
+                if best is None or bytes_w < best[0]:
+                    best = (bytes_w, w_eff, A, C, s_store, rle, cont, wfit)
+    _, w_main, A_words, C_words, s_store, rle_np, cont_np, wfit_np = best
+    return w_main, A_words, C_words, s_store, rle_np, cont_np, wfit_np
 
 
 def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
@@ -610,22 +652,23 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     [1, w_main] dummy marking the tier (rank.is_vrle) and carrying the
     static W-mode width."""
     K = int(used.shape[0])
-    alpha_map_np = np.full(ALPHA_SIZE, -1, np.int32)
-    alpha_map_np[used] = np.arange(K, dtype=np.int32)
-    alpha_map = jnp.asarray(alpha_map_np)
+    used_dev = jnp.asarray(used)
 
-    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
+    from ..fmindex import l1_group_for
+    C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True,
+                                      group=l1_group_for(seg))
 
     wide = K > 256
     w_side, Wside = _vseg_width_for(seg, 9 if wide else 8)
-    codes2d = _codes2d_stage(bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg)
-    syms_i32, nsym_i32 = _vseg_stats_stage(codes2d, seg=seg, SMAX=VRLE_SMAX)
+    codes2d = _codes2d_stage(bwt_chars, used_dev, n=n, n_seg=n_seg, seg=seg)
+    syms_i32, nsym_i32 = _stats_from_hist(per_seg_used, SMAX=VRLE_SMAX)
     slots_dev = _vrle_slot_stats(codes2d, syms_i32, nsym_i32, seg=seg,
                                  SMAX=VRLE_SMAX)
     nsym_np = np.asarray(nsym_i32)                     # [n_seg] tiny pulls
     slots_np = np.asarray(slots_dev)
 
-    w_main, A_words, s_store, rle_np, wfit_np = vrle_plan(
+    (w_main, A_words, C_words, s_store, rle_np, cont_np,
+     wfit_np) = vrle_plan(
         nsym_np, slots_np, seg=seg, n_seg=n_seg, wide=wide, Wside=Wside)
 
     Wm = _vseg_width_for(seg, w_main)[1]
@@ -634,10 +677,24 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     if Wm < A_words:
         w_rows = jnp.concatenate(
             [w_rows, jnp.zeros((n_seg, A_words - Wm), jnp.uint32)], axis=1)
-    rle_rows = _vrle_pack_slots(codes2d, syms_i32, nsym_i32, seg=seg,
-                                SMAX=VRLE_SMAX, A_words=A_words)
-    mode_rle = jnp.asarray(rle_np)
+    # pack slots to the FULL span (main + continuation), then split the
+    # columns: the decode concatenates the streams back, so a split is
+    # exactly a continuation row
+    rle_full = _vrle_pack_slots(codes2d, syms_i32, nsym_i32, seg=seg,
+                                SMAX=VRLE_SMAX, A_words=A_words + C_words)
+    rle_rows = rle_full[:, :A_words]
+    mode_rle = jnp.asarray(rle_np | cont_np)
     code_area = jnp.where(mode_rle[:, None], rle_rows, w_rows)
+
+    cont_idx = np.nonzero(cont_np)[0].astype(np.int32)
+    ncont = int(cont_idx.shape[0])
+    if ncont and C_words:
+        cont_rows = jnp.take(rle_full[:, A_words:],
+                             jnp.asarray(cont_idx), axis=0)
+        seg_cont = jnp.concatenate(
+            [jnp.zeros((1, C_words), jnp.uint32), cont_rows])
+    else:
+        seg_cont = jnp.zeros((1, 1), jnp.uint32)
 
     sym_words = _vseg_sym_words(syms_i32[:, :s_store], wide)
     mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
@@ -647,11 +704,13 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
          rel_words], axis=1)
     occ_ckpt = occ_ckpt[:1]
 
-    cov = rle_np | wfit_np
+    cov = rle_np | cont_np | wfit_np
     ovf_idx = np.nonzero(~cov)[0].astype(np.int32)
     novf = int(ovf_idx.shape[0])
     seg_woff_np = np.zeros(n_seg, np.int32)
     seg_woff_np[rle_np] = -1
+    # continuation segments: -(1 + row) into seg_cont (row 0 is a dummy)
+    seg_woff_np[cont_idx] = -(1 + np.arange(1, ncont + 1, dtype=np.int32))
     seg_woff_np[ovf_idx] = np.arange(1, novf + 1, dtype=np.int32)
     if novf:
         codes_ovf = jnp.take(codes2d, jnp.asarray(ovf_idx), axis=0)
@@ -669,7 +728,7 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
         jnp.zeros((1, s_store), jnp.int32))
     seg_rle = jnp.zeros((1, w_main), jnp.int32)
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
-            jnp.asarray(seg_woff_np), seg_syms, seg_rle)
+            jnp.asarray(seg_woff_np), seg_syms, seg_rle, seg_cont)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_seg", "seg"))
@@ -737,14 +796,36 @@ def _pack_widths(K: int):
     return per_word, bits
 
 
+def _map_codes(x, used):
+    """Symbols -> dense codes by chunked compare-reduce: code(x) =
+    #used symbols < x (used is sorted unique and x is always present).
+
+    A 512-entry table gather over [n] measured 1.3 s/128 MiB on the TPU
+    (gathers issue ~element-at-a-time); this compare-sum is pure VPU work
+    over [CH, K] lanes and runs ~25x faster (PERF.md round 4)."""
+    K = used.shape[0]
+    n = x.shape[0]
+    CH = max(1 << 20, 1)
+    nch = -(-n // CH)
+    xp = jnp.zeros((nch * CH,), x.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, x, (0,))
+
+    def chunk(xc):
+        return jnp.sum(
+            (used[None, :] < xc[:, None]).astype(jnp.int32), axis=1)
+
+    codes = jax.lax.map(chunk, xp.reshape(nch, CH)).reshape(-1)
+    return codes[:n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "n_seg", "seg", "per_word", "bits")
 )
-def _pack_stage(bwt_chars, alpha_map, *, n, n_seg, seg, per_word, bits):
+def _pack_stage(bwt_chars, used, *, n, n_seg, seg, per_word, bits):
     """Map BWT symbols to dense codes and bit-pack them into uint32 words,
     per segment (W = ceil(seg/per_word) words each)."""
     pad_code = (1 << bits) - 1
-    codes = alpha_map[bwt_chars]                      # [n] dense codes
+    codes = _map_codes(bwt_chars, used)               # [n] dense codes
     W = -(-seg // per_word)
     row = W * per_word
     out = jnp.full((n_seg * row,), pad_code, jnp.int32)
@@ -965,16 +1046,23 @@ def _pack_mark_vals(mark_vals, *, cap, bits, exc_base, exc_cap, period,
     exc_rank = jnp.cumsum(is_exc.astype(jnp.int32)) - 1
     k = jnp.where(is_exc, exc_base + exc_rank, mv // period)
     k = jnp.where(valid, k, 0).astype(jnp.uint32)
-    bp = jnp.arange(cap, dtype=jnp.int32) * bits
-    wi = bp >> 5
-    sh = (bp & 31).astype(jnp.uint32)
-    lo = k << sh
-    # slots never share bit positions, so scatter-add == scatter-or
-    hi = jnp.where(sh == 0, jnp.uint32(0),
-                   k >> ((jnp.uint32(32) - sh) & jnp.uint32(31)))
-    words = (
-        jnp.zeros((n_words,), jnp.uint32).at[wi].add(lo).at[wi + 1].add(hi)
-    )
+    # register bit-transpose: 32 consecutive slots span exactly `bits`
+    # words (32 * bits bits), so each group packs with STATIC shifts and
+    # static column updates — no scatter (the cap-wide scatter-add
+    # measured 206 ms/128 MiB, PERF.md round 4).  cap is a multiple of
+    # 128, so the group reshape is exact.
+    G = cap // 32
+    kg = k.reshape(G, 32)
+    acc = jnp.zeros((G, bits), jnp.uint32)
+    for i in range(32):
+        lo_w = (i * bits) >> 5
+        sh = (i * bits) & 31
+        acc = acc.at[:, lo_w].add(kg[:, i] << sh)
+        spill = sh + bits - 32
+        if spill > 0:
+            acc = acc.at[:, lo_w + 1].add(kg[:, i] >> (32 - sh))
+    words = jnp.concatenate(
+        [acc.reshape(-1), jnp.zeros((n_words - G * bits,), jnp.uint32)])
     exc = (
         jnp.zeros((exc_cap,), jnp.int32)
         .at[jnp.where(is_exc, exc_rank, exc_cap)]
@@ -1047,7 +1135,7 @@ def build_fm_arrays_device(
     the remapped tiers then skip the device histogram's host counts
     round-trip (measured 11 s/chunk of pipeline stall, PERF.md)."""
     from ..alphabet import ALPHA_SIZE as A
-    from ..fmindex import L1_GROUP
+    from ..fmindex import l1_group_for
 
     if tier not in ("full", "compact", "packed", "vseg", "vrle"):
         raise ValueError(f"unknown tier {tier!r}")
@@ -1055,12 +1143,9 @@ def build_fm_arrays_device(
     n_seg = n // seg + 1
     n_seg = -(-n_seg // seg_multiple) * seg_multiple
     if compact:
-        if seg * L1_GROUP > 0xFFFF:
-            raise ValueError(
-                "compact tier needs seg * L1_GROUP <= 65535 "
-                "(uint16 relative checkpoints)"
-            )
-        n_seg = -(-n_seg // L1_GROUP) * L1_GROUP
+        # the group adapts to the segment size (l1_group_for: uint16
+        # relative checkpoints need seg * group <= 65535)
+        n_seg = -(-n_seg // l1_group_for(seg)) * l1_group_for(seg)
     n_pad = n_seg * seg
 
     if pull is not None:
@@ -1131,15 +1216,17 @@ def build_fm_arrays_device(
                               seg_woff=seg_woff, seg_syms=seg_syms)
             if rest:
                 vseg_extra["seg_rle"] = rest[0]
+                vseg_extra["seg_cont"] = rest[1]
             # marks and relative checkpoints live INSIDE the serving rows;
             # keep 1-row dummies that preserve seg_size()/dtype dispatch
             mark_bits = mark_bits[:1]
             mark_ckpt = mark_ckpt[:1]
         else:
-            C, occ_ckpt, occ_l1 = _ckpt_stage(per_seg_used, compact=True)
+            C, occ_ckpt, occ_l1 = _ckpt_stage(
+                per_seg_used, compact=True, group=l1_group_for(seg))
             per_word, bits = _pack_widths(K)
             bwt_store = _pack_stage(
-                bwt_chars, alpha_map, n=n, n_seg=n_seg, seg=seg,
+                bwt_chars, alpha_rev, n=n, n_seg=n_seg, seg=seg,
                 per_word=per_word, bits=bits,
             )
     else:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabet import ALPHA_SIZE
-from ..fmindex import FMArrays, L1_GROUP
+from ..fmindex import FMArrays
 
 # ---------------------------------------------------------------------------
 # Tier dispatch (all static, on dtypes/shapes):
@@ -165,6 +165,12 @@ def _vseg_geom(arrays: FMArrays) -> _VsegGeom:
     return _VsegGeom(arrays)
 
 
+def _l1_grp(arrays: FMArrays) -> int:
+    """Segments per L1 checkpoint group, derived from shapes (the build
+    pads n_seg to a multiple of the group, so the division is exact)."""
+    return max(1, n_segments(arrays) // arrays.occ_l1.shape[0])
+
+
 def _vseg_syms_from_row(arrays: FMArrays, row: jax.Array) -> jax.Array:
     """int32[B, SMAX] sorted symbol list unpacked from the gathered main
     row (pads = dtype max: never below a real code)."""
@@ -190,7 +196,8 @@ def _vseg_base_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
     word = jnp.take_along_axis(
         row, (g.off_rel + c // 2)[:, None], axis=1)[:, 0]
     rel = (word >> ((c & 1).astype(jnp.uint32) * 16)) & jnp.uint32(0xFFFF)
-    return arrays.occ_l1[s // L1_GROUP, c] + rel.astype(jnp.int32)
+    return (arrays.occ_l1[s // _l1_grp(arrays), c]
+            + rel.astype(jnp.int32))
 
 
 def _vseg_marks_from_row(arrays: FMArrays, row: jax.Array, r: jax.Array):
@@ -232,6 +239,15 @@ def _vrle_ws(nsym):
             + (n > 32)).astype(jnp.int32)
 
 
+def _u8_stream(words: jax.Array) -> jax.Array:
+    """uint32[B, W] -> uint32[B, 4W] little-endian byte stream (constant
+    indices: a broadcast/slice, not a data gather)."""
+    k = np.arange(words.shape[1] * 4)
+    widx = jnp.asarray((k // 4).astype(np.int32))
+    shift = jnp.asarray(((k % 4) * 8).astype(np.uint32))
+    return (words[:, widx] >> shift[None, :]) & jnp.uint32(0xFF)
+
+
 def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
                         geom: "_VsegGeom") -> jax.Array:
     """Decode RLE-mode rows to the per-lane LOCAL code grid int32[B, seg]:
@@ -239,14 +255,29 @@ def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
     scatter each slot's symbol at its start position and forward-fill
     (cummax of (start << 8 | sym+1)).  Position 0 of every real segment
     starts a slot, so real positions always fill; tail-pad rows decode to
-    an arbitrary present code (same contract as the fixed-width tiers)."""
+    an arbitrary present code (same contract as the fixed-width tiers).
+
+    Segments whose slots exceed the main code area continue in ONE
+    seg_cont row (seg_woff == -(1 + cont_row)); the continuation stream
+    concatenates after the main stream — its padding slots have len 0
+    and contribute nothing, so non-continued lanes are unaffected.  The
+    cont gather is lax.cond-gated like the side table."""
     seg = geom.seg
-    A_bytes = geom.W * 4
     B = row.shape[0]
-    k = np.arange(A_bytes)
-    widx = jnp.asarray((k // 4).astype(np.int32))
-    shift = jnp.asarray(((k % 4) * 8).astype(np.uint32))
-    slots = (row[:, widx] >> shift[None, :]) & jnp.uint32(0xFF)
+    slots = _u8_stream(row[:, :geom.W])
+    if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
+        woff = arrays.seg_woff[s]
+        cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
+
+        def with_cont(_):
+            cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
+            return _u8_stream(cw)
+
+        cont = jax.lax.cond(
+            jnp.any(cont_row > 0), with_cont,
+            lambda _: jnp.zeros(
+                (B, arrays.seg_cont.shape[1] * 4), jnp.uint32), 0)
+        slots = jnp.concatenate([slots, cont], axis=1)
     ws = _vrle_ws(arrays.seg_nsym[s])
     lenbits = (8 - ws).astype(jnp.uint32)[:, None]
     lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)
@@ -348,7 +379,7 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
         return _vseg_base_from_row(arrays, row, s, c)
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
-        return arrays.occ_l1[s // L1_GROUP, c] + rel
+        return arrays.occ_l1[s // _l1_grp(arrays), c] + rel
     return arrays.occ_ckpt[s, c]
 
 

@@ -576,6 +576,25 @@ def _jit_seed_sort(mesh, axis, nkeys, n_pad, cap):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_prep_seed(mesh, axis, n, n_pad, per_key, bits, nkeys,
+                   mark_period, ndocs, cap):
+    """Fused key-prep + seed sort: ONE program, one dispatch — the
+    intermediate key operands never materialize in HBM (VERDICT r4 #4:
+    mesh pipeline overhead).  Also returns keys[0] and the payload,
+    which the extension epilogue and pull-fix consume later."""
+    def body(text_block, doc_starts, used, key):
+        kp = _prep_body(text_block, doc_starts, used, n=n, n_pad=n_pad,
+                        per_key=per_key, bits=bits, nkeys=nkeys,
+                        mark_period=mark_period, ndocs=ndocs, axis=axis)
+        out = _seed_sort_body(*kp, key, nkeys=nkeys, n_pad=n_pad,
+                              cap=cap, axis=axis)
+        return out + (kp[0], kp[nkeys])
+
+    return _smap(body, mesh, (P(axis), P(), P(), P()),
+                 (P(axis), P(axis), P(axis), P(), P(), P(axis), P(axis)))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_compact(mesh, axis, n_pad, M):
     fn = functools.partial(_rep_compact_body, n_pad=n_pad, M=M, axis=axis)
     return _smap(fn, mesh, (P(axis), P(axis)), (P(), P(), P()))
@@ -665,9 +684,18 @@ def _ckpt_load(checkpoint_dir: str, n_pad: int, stage: str, names, mesh,
              for i in range(nproc)]
     if not all(os.path.exists(p) for p in paths):
         return None
-    with np.load(paths[pidx]) as z:
-        if str(z["stage"]) != stage or int(z["nproc"]) != nproc:
+    # EVERY process's file must be at the requested stage — checking only
+    # one's own file lets processes whose peers died at different points
+    # take divergent resume branches (a collective mismatch); all
+    # processes must make the identical decision from the shared dir
+    for p in paths:
+        try:
+            with np.load(p) as z:
+                if str(z["stage"]) != stage or int(z["nproc"]) != nproc:
+                    return None
+        except (OSError, ValueError, KeyError):
             return None
+    with np.load(paths[pidx]) as z:
         data = {k: z[k] for k in z.files}
     sh = NamedSharding(mesh, P(axis))
     out = {}
@@ -761,11 +789,6 @@ def dist_suffix_array(
         used_np if used_np.size else np.ones(1, np.int32),
         NamedSharding(mesh, P()))
 
-    kp = _jit_prep(mesh, axis, n, n_pad, per_key, bits, nkeys, mark_period,
-                   ndocs)(text, doc_starts, used_dev)
-    keys, payload = kp[:nkeys], kp[nkeys]
-    key0_blk = keys[0]
-
     stats = {"path": "wide", "full_sorts": 1, "full_exchanges": 1,
              "ext_rounds": 0, "tail_rounds": 0, "dbl_rounds": 0,
              "span": span, "m_act": 0}
@@ -780,18 +803,35 @@ def dist_suffix_array(
     if use_ckpt:
         loaded = _ckpt_load(checkpoint_dir, n_pad, "seed",
                             ("sa", "pull", "st"), mesh, axis)
+        if jax.process_count() > 1:
+            # a fully-resumed path may reach _ckpt_clear without crossing
+            # a single collective; without this barrier a fast process can
+            # delete its shard before a slow peer has made ITS load
+            # decision, and the peers take divergent branches (observed as
+            # a gloo payload-size mismatch in the kill/resume test)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ftpu_ckpt_seed_load")
         if loaded is not None:
             sa, pull, st = loaded["sa"], loaded["pull"], loaded["st"]
             m_act = int(loaded["m_act"])
             stats["resumed"] = True
     if sa is None:
-        sa, pull, st, m_act_dev, of = _jit_seed_sort(
-            mesh, axis, nkeys, n_pad, cap)(*keys, payload, key)
-        overflow_acc = int(of)
-        m_act = int(m_act_dev)
+        # fused prep+seed program; one stacked host pull for both scalars
+        (sa, pull, st, m_act_dev, of, key0_blk,
+         payload) = _jit_prep_seed(
+            mesh, axis, n, n_pad, per_key, bits, nkeys, mark_period,
+            ndocs, cap)(text, doc_starts, used_dev, key)
+        of_h, m_act_h = jax.device_get((of, m_act_dev))
+        overflow_acc = int(of_h)
+        m_act = int(m_act_h)
         if use_ckpt and overflow_acc <= 0:
             _ckpt_save(checkpoint_dir, n_pad, "seed",
                        sa=sa, pull=pull, st=st, m_act=m_act)
+    else:
+        # resumed: the epilogue still needs keys[0] and the payload
+        kp = _jit_prep(mesh, axis, n, n_pad, per_key, bits, nkeys,
+                       mark_period, ndocs)(text, doc_starts, used_dev)
+        key0_blk, payload = kp[0], kp[nkeys]
     stats["m_act"] = m_act
 
     if overflow_acc <= 0 and m_act > 0:
@@ -1003,7 +1043,7 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
     dispatch serves mesh queries for all of them.  The vseg tier packages
     via _package_shard_vseg (width/side-capacity are host-staged)."""
     from ..alphabet import ALPHA_SIZE
-    from ..fmindex import L1_GROUP
+    from ..fmindex import l1_group_for
     from ..ops.build_ops import _pack_stage, _pack_widths
 
     m = sa_block.shape[0]
@@ -1019,28 +1059,27 @@ def _package_shard(sa_block, bwt_block, a_row_block, doc_starts, used, *,
     else:
         # relative checkpoints against SHARDED L1 rows that carry the
         # global base — rank.ckpt_base works with shard-local segment ids
-        occ_l1 = occ_abs[::L1_GROUP]
+        grp = l1_group_for(seg)
+        occ_l1 = occ_abs[::grp]
         occ_ckpt = (
-            occ_abs - jnp.repeat(occ_l1, L1_GROUP, axis=0)
+            occ_abs - jnp.repeat(occ_l1, grp, axis=0)
         ).astype(jnp.uint16)
     if tier == "full":
         bwt_store = bwt_block.astype(jnp.uint16).reshape(nseg_local, seg)
     else:
         # remapped tiers store DENSE codes (the checkpoints/C are dense
         # columns, and rank.gather_segments returns rows verbatim)
-        alpha_map = (
-            jnp.full((ALPHA_SIZE,), -1, jnp.int32)
-            .at[used].set(jnp.arange(K, dtype=jnp.int32))
-        )
         if tier == "packed":
             per_word, bits = _pack_widths(K)
             bwt_store = _pack_stage(
-                bwt_block.astype(jnp.int32), alpha_map, n=m,
+                bwt_block.astype(jnp.int32), used, n=m,
                 n_seg=nseg_local, seg=seg, per_word=per_word, bits=bits,
             )
         else:
-            bwt_store = alpha_map[bwt_block.astype(jnp.int32)].astype(
-                jnp.uint16).reshape(nseg_local, seg)
+            from ..ops.build_ops import _map_codes
+            bwt_store = _map_codes(
+                bwt_block.astype(jnp.int32), used
+            ).astype(jnp.uint16).reshape(nseg_local, seg)
 
     # --- marks: bitmap + GLOBAL-count checkpoints + local value store ---
     (mark_bits, mark_ckpt, _mark_base, mark_vals, doc_seof_rows, n_marks,
@@ -1060,18 +1099,21 @@ def _vseg_stats_shard(bwt_block, used, *, seg: int, K: int, axis: str):
     capacity from the tiny [D, n_cand] pull, then _package_shard_vseg
     assembles the rows."""
     from ..alphabet import ALPHA_SIZE
-    from ..ops.build_ops import (
-        VSEG_SMAX, _vseg_stats_stage, vseg_width_candidates,
-    )
+    from ..ops.build_ops import VSEG_SMAX, vseg_width_candidates
 
     m = bwt_block.shape[0]
     nseg_local = m // seg
-    alpha_map = (
-        jnp.full((ALPHA_SIZE,), -1, jnp.int32)
-        .at[used].set(jnp.arange(K, dtype=jnp.int32))
-    )
-    codes2d = alpha_map[bwt_block.astype(jnp.int32)].reshape(nseg_local, seg)
-    syms, nsym = _vseg_stats_stage(codes2d, seg=seg, SMAX=VSEG_SMAX)
+    from ..ops.build_ops import _hist_core, _map_codes, _stats_from_hist
+    codes2d = _map_codes(bwt_block.astype(jnp.int32), used).reshape(
+        nseg_local, seg)
+    CH = 512
+    nchunks = -(-nseg_local // CH)
+    pad_rows = nchunks * CH - nseg_local
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), -1, jnp.int32)]
+    ).reshape(nchunks, CH, seg)
+    per_seg = _hist_core(c3, K)[:nseg_local]
+    syms, nsym = _stats_from_hist(per_seg, SMAX=VSEG_SMAX)
     cands = vseg_width_candidates(seg)
     ovf_counts = jnp.stack([
         jnp.sum((~((nsym <= (1 << w_eff)) & (nsym < 255))).astype(jnp.int32))
@@ -1099,7 +1141,7 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
     mark_ckpt is returned as the shard's [1] GLOBAL mark base (the rows
     carry the per-segment checkpoints; dist_query uses
     grank - mark_ckpt[0] for the local mark_vals slot)."""
-    from ..fmindex import L1_GROUP
+    from ..fmindex import l1_group_for
     from ..ops.build_ops import (
         VSEG_SMAX, _to_u8, _to_u16, _vseg_pack_uniform, _vseg_rel_words,
         _vseg_sym_words, _vseg_width_for, vseg_sym_store,
@@ -1110,8 +1152,9 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
 
     per_seg, occ_abs, C = _shard_occ_base(
         bwt_block, used, seg=seg, dense=True, axis=axis)
-    occ_l1 = occ_abs[::L1_GROUP]
-    occ_rel = (occ_abs - jnp.repeat(occ_l1, L1_GROUP, axis=0)).astype(
+    grp = l1_group_for(seg)
+    occ_l1 = occ_abs[::grp]
+    occ_rel = (occ_abs - jnp.repeat(occ_l1, grp, axis=0)).astype(
         jnp.uint16)
 
     (mark_bits, mark_ckpt, mark_base, mark_vals, doc_seof_rows, n_marks,
@@ -1121,11 +1164,9 @@ def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
 
     from ..alphabet import ALPHA_SIZE
 
-    alpha_map = (
-        jnp.full((ALPHA_SIZE,), -1, jnp.int32)
-        .at[used].set(jnp.arange(K, dtype=jnp.int32))
-    )
-    codes2d = alpha_map[bwt_block.astype(jnp.int32)].reshape(nseg_local, seg)
+    from ..ops.build_ops import _map_codes
+    codes2d = _map_codes(bwt_block.astype(jnp.int32), used).reshape(
+        nseg_local, seg)
     wide = K > 256
     w_side, _Wside = _vseg_width_for(seg, 9 if wide else 8)
     bwt_main = _vseg_pack_uniform(codes2d, syms_blk, nsym_blk, seg=seg,
@@ -1199,21 +1240,22 @@ def build_index_sharded(
     Returns an FMIndex whose arrays live sharded across `mesh`.
     """
     from ..alphabet import ALPHA_SIZE
-    from ..fmindex import FMIndex, FMMeta, L1_GROUP
+    from ..fmindex import FMIndex, FMMeta, l1_group_for
     from ..ops.build_ops import mark_cap
     from .mesh import replicated
 
     if tier not in ("full", "compact", "packed", "vseg"):
         raise ValueError(f"unknown sharded tier {tier!r}")
-    if tier != "full" and seg * L1_GROUP > 0xFFFF:
-        raise ValueError("compact/packed tiers need seg * L1_GROUP <= 65535")
+    if tier != "full":
+        l1_group_for(seg)  # raises if seg too large for uint16 ckpts
     D = mesh.devices.size
     n = prepared.n
     ndocs = prepared.num_docs
     from .distributed import put_global
 
     text_pad, n_pad = pad_text_for_mesh(
-        prepared.text, D, seg, seg_group=1 if tier == "full" else L1_GROUP)
+        prepared.text, D, seg,
+        seg_group=1 if tier == "full" else l1_group_for(seg))
     sharding = NamedSharding(mesh, P(axis))
     rep0 = NamedSharding(mesh, P())
     text_dev = put_global(text_pad, sharding)
@@ -1266,7 +1308,8 @@ def build_index_sharded(
         # testing/tuning knob: start the per-shard mark-value capacity
         # here (identical-doc corpora cluster marks into one shard and
         # exercise the overflow->grow retry below)
-        cap_local = min(max(128, mark_cap_local0), cap_total)
+        cap_local = min(max(128, -(-mark_cap_local0 // 128) * 128),
+                        cap_total)
     vseg_extra = {}
     if tier == "vseg":
         # stage 1: per-shard width statistics; the host picks ONE static

@@ -11,6 +11,7 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "full"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -21,6 +22,9 @@ def main():
                    cpu_collectives="gloo")
     assert jax.process_count() == nproc
     assert len(jax.devices()) == nproc  # one CPU device per process
+
+    if mode.startswith("kill"):
+        return killresume(pid, nproc, mode)
 
     import numpy as np
 
@@ -88,6 +92,78 @@ def main():
     if pid == 0:
         print("MP_RESUME:" + ("ok" if same and not os.path.exists(own)
                               else "bad"), flush=True)
+
+
+def killresume(pid, nproc, mode):
+    """Kill-and-resume elasticity (VERDICT r3 item #8 — the reference has
+    NO restart story, SURVEY §5.3).  Phase 1 ("kill1"): process 1
+    SIGKILLs itself immediately after persisting its seed-sort
+    checkpoint shard; the parent reaps the stranded peer.  Phase 2
+    ("kill2", fresh processes, same checkpoint dir): the build must
+    RESUME from the per-process shards and produce a correct index."""
+    import os
+    import signal
+
+    import numpy as np
+
+    import jax
+    import femto_tpu as ft
+    from femto_tpu.alphabet import pattern_to_alpha
+    from femto_tpu.parallel import dist_build as db
+    from femto_tpu.parallel import distributed as ftd
+    from femto_tpu.parallel.dist_build import build_index_sharded
+    from femto_tpu.parallel.dist_query import sharded_backward_search
+    from femto_tpu.search import pack_patterns
+
+    ck = os.environ["FTPU_KR_CKDIR"]
+    mesh = ftd.global_mesh()
+    rng = np.random.default_rng(42)
+    docs = [bytes(rng.integers(97, 123, size=1500).astype(np.uint8))
+            for _ in range(3)] + [b"needle-banana-needle"]
+    prepared = ft.prepare_documents(docs)
+
+    if mode == "kill1":
+        orig = db._ckpt_save
+
+        def save_then_die(*a, **kw):
+            orig(*a, **kw)
+            if pid == 1 and a[2] == "seed":
+                os.kill(os.getpid(), signal.SIGKILL)
+
+        db._ckpt_save = save_then_die
+        # gloo defers peer-death errors to the next host pull, so the
+        # survivor can run all the way through its (now-garbage) build
+        # and would clear its own seed shard on the way out — keep it
+        db._ckpt_clear = lambda *a, **k: None
+        build_index_sharded(prepared, mesh, seg=32, mark_period=8,
+                            checkpoint_dir=ck)
+        # only the surviving process ever gets here
+        print("KR_PHASE1_SURVIVED", flush=True)
+        return
+
+    index = build_index_sharded(prepared, mesh, seg=32, mark_period=8,
+                                checkpoint_dir=ck)
+    resumed = bool(db.LAST_BUILD_STATS.get("resumed"))
+    pats = [b"banana", b"needle", b"zz"]
+    packed, B = pack_patterns([pattern_to_alpha(p) for p in pats])
+    first, last = sharded_backward_search(index, mesh, packed, routed=False)
+    counts = (np.asarray(jax.device_get(last))
+              - np.asarray(jax.device_get(first)))[:B].tolist()
+
+    def cnt(d, p):  # overlapping occurrences (index semantics)
+        c, s = 0, 0
+        while True:
+            k = d.find(p, s)
+            if k < 0:
+                return c
+            c, s = c + 1, k + 1
+
+    want = [sum(cnt(d, p) for d in docs) for p in pats]
+    if pid == 0:
+        ok = resumed and counts == want
+        print("MP_KILLRESUME:" + ("ok" if ok else
+                                  f"bad resumed={resumed} {counts}!={want}"),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -378,3 +378,25 @@ def test_vrle_tier_smaller_on_runs(rng):
 
     assert total_bytes(vr) < total_bytes(vs), (total_bytes(vr),
                                                total_bytes(vs))
+
+
+def test_vrle_continuation_rows():
+    """Real English text produces continuation rows at small segments
+    (RLE streams longer than the main code area spill into ONE seg_cont
+    row, seg_woff == -(1 + cont_row)); queries stay exact across
+    main/continuation/side segments."""
+    import pydoc_data.topics as topics
+    from tests.oracle import naive_locate
+
+    buf = ("\n".join(sorted(topics.topics.values()))).encode()[:400000]
+    docs = [buf[i:i + 50000] for i in range(0, len(buf), 50000)]
+    prepared = ft.prepare_documents(docs)
+    vr = ft.build_index(prepared, seg=512, mark_period=8, tier="vrle")
+    woff = np.asarray(vr.arrays.seg_woff)
+    assert (woff < -1).any(), "expected continuation segments"
+    assert vr.arrays.seg_cont.shape[0] > 1
+    full = ft.build_index(prepared, seg=512, mark_period=8)
+    pats = [b"Python", b"lambda", b"qzqz", b"the "]
+    np.testing.assert_array_equal(ft.count(full, pats), ft.count(vr, pats))
+    assert ft.locate(vr, b"lambda") == naive_locate(docs, b"lambda")
+    assert ft.extract_document(vr, 1) == docs[1]
