@@ -154,6 +154,15 @@ class FMArrays(NamedTuple):
         table (8-9 bit global codes; seg_woff holds their 1-based side
         row); occ_ckpt/mark_bits/mark_ckpt become 1-row dtype/shape
         markers.  Dispatch: seg_nsym is not None.
+      * vrle:    the vseg row shape with a RUN-LENGTH coded code area
+        (round 4; BWT runs average 3.5-4.2 symbols on real text).  Per
+        segment the area holds u8 RLE slots (local_sym << lenbits | len,
+        lenbits from the segment's own alphabet; seg_woff == -1), RLE
+        plus ONE continuation row in seg_cont (seg_woff == -(1+row)),
+        fixed w_main-bit codes (seg_woff == 0), or the side table.
+        0.90 B/char on real English prose, 0.54 on DNA, at mark period
+        20 including locate support.  Dispatch: seg_rle is not None
+        (shape [1, w_main]).
     """
 
     bwt: jax.Array        # uint16[n_seg, SEG] symbols | uint32[n_seg, W]

@@ -266,18 +266,14 @@ def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
     B = row.shape[0]
     slots = _u8_stream(row[:, :geom.W])
     if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
+        # continuation segments are 30-60% of real text, so the gather is
+        # unconditional (a lax.cond would fire every step anyway, and its
+        # branches disagree on shard_map varying axes); non-continued
+        # lanes read the all-zero dummy row 0 (len-0 slots)
         woff = arrays.seg_woff[s]
         cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
-
-        def with_cont(_):
-            cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
-            return _u8_stream(cw)
-
-        cont = jax.lax.cond(
-            jnp.any(cont_row > 0), with_cont,
-            lambda _: jnp.zeros(
-                (B, arrays.seg_cont.shape[1] * 4), jnp.uint32), 0)
-        slots = jnp.concatenate([slots, cont], axis=1)
+        cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
+        slots = jnp.concatenate([slots, _u8_stream(cw)], axis=1)
     ws = _vrle_ws(arrays.seg_nsym[s])
     lenbits = (8 - ws).astype(jnp.uint32)[:, None]
     lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)

@@ -1122,6 +1122,142 @@ def _vseg_stats_shard(bwt_block, used, *, seg: int, K: int, axis: str):
     return syms, nsym, ovf_counts
 
 
+def _vrle_stats_shard(bwt_block, used, *, seg: int, K: int, axis: str):
+    """Per-shard vrle statistics (stage 1 of the sharded RLE packaging):
+    per-segment sorted symbol lists, distinct counts, and RLE slot
+    counts at each segment's own width.  The host pulls nsym+slots and
+    runs the SAME (w_main, A, C) argmin as the single-chip build
+    (build_ops.vrle_plan), then _package_shard_vrle assembles rows."""
+    from ..ops.build_ops import (
+        VRLE_SMAX, _hist_core, _map_codes, _stats_from_hist,
+        _vrle_slot_stats,
+    )
+
+    m = bwt_block.shape[0]
+    nseg_local = m // seg
+    codes2d = _map_codes(bwt_block.astype(jnp.int32), used).reshape(
+        nseg_local, seg)
+    CH = 512
+    nchunks = -(-nseg_local // CH)
+    pad_rows = nchunks * CH - nseg_local
+    c3 = jnp.concatenate(
+        [codes2d, jnp.full((pad_rows, seg), -1, jnp.int32)]
+    ).reshape(nchunks, CH, seg)
+    per_seg = _hist_core(c3, K)[:nseg_local]
+    syms, nsym = _stats_from_hist(per_seg, SMAX=VRLE_SMAX)
+    slots = _vrle_slot_stats(codes2d, syms, nsym, seg=seg, SMAX=VRLE_SMAX)
+    return syms, nsym, slots
+
+
+def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
+                        syms_blk, nsym_blk, slots_blk, *, seg: int,
+                        ndocs: int, cap_local: int, mark_geom, K: int,
+                        w_main: int, A_words: int, C_words: int,
+                        s_store: int, max_ovf: int, max_cont: int,
+                        axis: str):
+    """Per-shard vrle packaging: the sharded edition of
+    build_ops._build_vrle.  Each shard re-derives its segments' modes
+    from (nsym, slots) with the host-staged static thresholds — the
+    identical predicate vrle_plan optimized — and assembles its own
+    serving rows, continuation table, side table, and mark-value
+    compaction; capacities are padded to the global max so the sharded
+    arrays stay rectangular."""
+    from ..fmindex import l1_group_for
+    from ..ops.build_ops import (
+        VRLE_SMAX, _map_codes, _to_u8, _to_u16, _vrle_pack_slots,
+        _vseg_pack_uniform, _vseg_rel_words, _vseg_sym_words,
+        _vseg_width_for,
+    )
+
+    m = sa_block.shape[0]
+    nseg_local = m // seg
+
+    per_seg, occ_abs, C = _shard_occ_base(
+        bwt_block, used, seg=seg, dense=True, axis=axis)
+    grp = l1_group_for(seg)
+    occ_l1 = occ_abs[::grp]
+    occ_rel = (occ_abs - jnp.repeat(occ_l1, grp, axis=0)).astype(
+        jnp.uint16)
+
+    (mark_bits, mark_ckpt, mark_base, mark_vals, doc_seof_rows, n_marks,
+     mark_of) = _shard_marks(sa_block, a_row_block, seg=seg, ndocs=ndocs,
+                             cap_local=cap_local, mark_geom=mark_geom,
+                             axis=axis)
+
+    codes2d = _map_codes(bwt_block.astype(jnp.int32), used).reshape(
+        nseg_local, seg)
+    wide = K > 256
+    w_side, _Wside = _vseg_width_for(seg, 9 if wide else 8)
+    w_eff = _vseg_width_for(seg, w_main)[0]
+
+    alpha_ok = (nsym_blk <= VRLE_SMAX) & (nsym_blk < 255)
+    rle = alpha_ok & (slots_blk <= A_words * 4)
+    if C_words:
+        cont = alpha_ok & ~rle & (slots_blk <= (A_words + C_words) * 4)
+    else:
+        cont = jnp.zeros_like(rle)
+    wfit = (nsym_blk <= (1 << w_eff)) & (nsym_blk < 255)
+    cov = rle | cont | wfit
+
+    Wm = _vseg_width_for(seg, w_main)[1]
+    w_rows = _vseg_pack_uniform(codes2d, syms_blk, nsym_blk, seg=seg,
+                                w=w_main, SMAX=VRLE_SMAX, side=False)
+    if Wm < A_words:
+        w_rows = jnp.concatenate(
+            [w_rows, jnp.zeros((nseg_local, A_words - Wm), jnp.uint32)],
+            axis=1)
+    rle_full = _vrle_pack_slots(codes2d, syms_blk, nsym_blk, seg=seg,
+                                SMAX=VRLE_SMAX,
+                                A_words=A_words + C_words)
+    mode_rle = rle | cont
+    code_area = jnp.where(mode_rle[:, None], rle_full[:, :A_words], w_rows)
+
+    sym_words = _vseg_sym_words(syms_blk[:, :s_store], wide)
+    mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
+    rel_words = _vseg_rel_words(occ_rel)
+    bwt_main = jnp.concatenate(
+        [code_area, sym_words, mark_bits.astype(jnp.uint32), mck_w,
+         rel_words], axis=1)
+
+    # continuation table (row 0 dummy; padded to the global max)
+    cont_rank = jnp.cumsum(cont.astype(jnp.int32))
+    CW = max(C_words, 1)
+    ctgt = jnp.where(cont, jnp.minimum(cont_rank - 1, max_cont),
+                     max_cont + 1)
+    cont_src = rle_full[:, A_words:] if C_words else         jnp.zeros((nseg_local, 1), jnp.uint32)
+    cont_vals = jnp.zeros((max_cont + 2, CW), jnp.uint32).at[ctgt].set(
+        cont_src, mode="drop")[:max_cont + 1]
+    seg_cont = jnp.concatenate(
+        [jnp.zeros((1, CW), jnp.uint32), cont_vals])
+
+    # side table (global codes, like the vseg shard path)
+    ovf_rank = jnp.cumsum((~cov).astype(jnp.int32))
+    tgt = jnp.where(~cov, jnp.minimum(ovf_rank - 1, max_ovf), max_ovf + 1)
+    codes_ovf = jnp.zeros((max_ovf + 2, seg), jnp.int32).at[tgt].set(
+        codes2d, mode="drop")[:max_ovf + 1]
+    dummy_s = jnp.zeros((max_ovf + 1, VRLE_SMAX), jnp.int32)
+    dummy_n = jnp.zeros((max_ovf + 1,), jnp.int32)
+    side_rows = _vseg_pack_uniform(codes_ovf, dummy_s, dummy_n, seg=seg,
+                                   w=w_side, SMAX=VRLE_SMAX, side=True)
+    seg_ovf = jnp.concatenate(
+        [jnp.zeros((1, side_rows.shape[1]), jnp.uint32), side_rows])
+
+    seg_woff = jnp.where(
+        ~cov, ovf_rank,
+        jnp.where(cont, -(1 + cont_rank),
+                  jnp.where(rle, -1, 0))).astype(jnp.int32)
+
+    seg_nsym = _to_u8(nsym_blk)
+    seg_syms = (_to_u16 if wide else _to_u8)(
+        jnp.zeros((1, s_store), jnp.int32))
+    seg_rle = jnp.zeros((1, w_main), jnp.int32)
+    occ_dummy = jnp.zeros((1, K), jnp.uint16)
+    mark_bits_dummy = jnp.zeros((1, seg // 32), jnp.uint32)
+    return (bwt_main, occ_dummy, occ_l1, C, mark_bits_dummy,
+            mark_base[None], mark_vals, doc_seof_rows, n_marks, mark_of,
+            seg_ovf, seg_nsym, seg_woff, seg_syms, seg_rle, seg_cont)
+
+
 def _package_shard_vseg(sa_block, bwt_block, a_row_block, doc_starts, used,
                         syms_blk, nsym_blk, *, seg: int, ndocs: int,
                         cap_local: int, mark_geom, K: int, w_main: int,
@@ -1244,7 +1380,7 @@ def build_index_sharded(
     from ..ops.build_ops import mark_cap
     from .mesh import replicated
 
-    if tier not in ("full", "compact", "packed", "vseg"):
+    if tier not in ("full", "compact", "packed", "vseg", "vrle"):
         raise ValueError(f"unknown sharded tier {tier!r}")
     if tier != "full":
         l1_group_for(seg)  # raises if seg too large for uint16 ckpts
@@ -1335,6 +1471,38 @@ def build_index_sharded(
                 best = (bytes_w, w_eff, ci)
         _, w_main, ci = best
         max_ovf = int(oc[:, ci].max())
+    elif tier == "vrle":
+        # stage 1: per-shard symbol/slot statistics; the host runs the
+        # SAME (w_main, A, C) argmin as the single-chip build and stages
+        # the per-shard continuation/side capacities
+        from ..ops.build_ops import (
+            VRLE_SMAX, _vseg_width_for, vrle_plan,
+        )
+
+        stats_fn = functools.partial(
+            _vrle_stats_shard, seg=seg, K=K, axis=axis)
+        syms, nsym, slots = jax.jit(jax.shard_map(
+            stats_fn, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=(P(axis, None), P(axis), P(axis)),
+        ))(bwt, used_dev)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            nsym_np = multihost_utils.process_allgather(nsym, tiled=True)
+            slots_np = multihost_utils.process_allgather(slots, tiled=True)
+        else:
+            nsym_np = np.asarray(nsym)
+            slots_np = np.asarray(slots)
+        wide = K > 256
+        _, Wside = _vseg_width_for(seg, 9 if wide else 8)
+        n_seg_total = n_pad // seg
+        (w_main, A_words, C_words, s_store, rle_np, cont_np,
+         wfit_np) = vrle_plan(nsym_np, slots_np, seg=seg,
+                              n_seg=n_seg_total, wide=wide, Wside=Wside)
+        nseg_loc = n_seg_total // D
+        cont2d = cont_np.reshape(D, nseg_loc)
+        cov2d = (rle_np | cont_np | wfit_np).reshape(D, nseg_loc)
+        max_cont = int(cont2d.sum(axis=1).max())
+        max_ovf = int((~cov2d).sum(axis=1).max())
 
     from ..ops.build_ops import mark_pack_geom
 
@@ -1348,7 +1516,32 @@ def build_index_sharded(
             bits_g, exc_base, exc_cap, n_words = mark_pack_geom(
                 n, mark_period, ndocs, cap_local)
             mark_geom = (bits_g, exc_base, exc_cap, n_words, mark_period)
-        if tier == "vseg":
+        if tier == "vrle":
+            fn = functools.partial(
+                _package_shard_vrle, seg=seg, ndocs=ndocs,
+                cap_local=cap_local, mark_geom=mark_geom, K=K,
+                w_main=w_main, A_words=A_words, C_words=C_words,
+                s_store=s_store, max_ovf=max_ovf, max_cont=max_cont,
+                axis=axis,
+            )
+            mapped = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P(),
+                          P(axis, None), P(axis), P(axis)),
+                out_specs=(P(axis, None), P(), P(axis, None), P(),
+                           P(), P(axis), P(axis), P(), P(), P(),
+                           P(axis, None), P(axis), P(axis), P(), P(),
+                           P(axis, None)),
+            )
+            (bwt_store, occ_ckpt, occ_l1, C, mark_bits, mark_ckpt,
+             mark_vals, doc_seof_rows, n_marks, mark_of, seg_ovf, seg_nsym,
+             seg_woff, seg_syms, seg_rle, seg_cont) = jax.jit(mapped)(
+                sa, bwt, a_row, doc_starts_dev, used_dev, syms, nsym,
+                slots)
+            vseg_extra = dict(seg_ovf=seg_ovf, seg_nsym=seg_nsym,
+                              seg_woff=seg_woff, seg_syms=seg_syms,
+                              seg_rle=seg_rle, seg_cont=seg_cont)
+        elif tier == "vseg":
             fn = functools.partial(
                 _package_shard_vseg, seg=seg, ndocs=ndocs,
                 cap_local=cap_local, mark_geom=mark_geom, K=K,

@@ -76,7 +76,7 @@ def _occ_local_dense(arrays: FMArrays, nseg_local: int, axis: str,
     sl = jnp.where(mine, sl, 0)
     off = r - s * seg
     total = arrays.C[cc + 1] - arrays.C[cc]
-    if R.is_vseg(arrays):
+    if R.is_row_tier(arrays):
         v = _vseg_local_occ(arrays, sl, cc, off)
         return (jnp.where(mine, v, 0)
                 + jnp.where(at_end & (me == 0), total, 0))
@@ -165,7 +165,7 @@ def _locate_body(arrays: FMArrays, rows: jax.Array, *, mark_period: int,
         sl = s - me * nseg_local
         mine = (sl >= 0) & (sl < nseg_local)
         sl = jnp.where(mine, sl, 0)
-        if R.is_vseg(arrays):
+        if R.is_row_tier(arrays):
             # mark words + GLOBAL-base mark ckpt ride the serving row;
             # the shard's mark_vals slot is grank - mark base
             # (mark_ckpt[0] carries the base, _package_shard_vseg)
@@ -231,7 +231,7 @@ def _occ_owner_compute(arrays: FMArrays, nseg_local: int, axis: str,
     sl = jnp.clip(s - me * nseg_local, 0, nseg_local - 1)
     off = rows - s * seg
     total = arrays.C[c + 1] - arrays.C[c]
-    if R.is_vseg(arrays):
+    if R.is_row_tier(arrays):
         v = _vseg_local_occ(arrays, sl, c, off)
         return jnp.where(valid, jnp.where(at_end, total, v), 0)
     base = R.ckpt_base(arrays, sl, c)
@@ -325,7 +325,7 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
                      me * nseg_local + nseg_local - 1)
         sl = s - me * nseg_local
         off = r - s * seg
-        if R.is_vseg(arrays):
+        if R.is_row_tier(arrays):
             # fused one-row walk step (rank.lf_grank_step's vseg path with
             # shard-local ids): codes, symbol map, occ base, mark bit and
             # GLOBAL mark rank all from the same gathered serving row
@@ -410,7 +410,8 @@ def _specs_for_arrays(axis: str, arrays: FMArrays = None):
     global mark base (_package_shard_vseg)."""
     mm_spec = (None if (arrays is not None and arrays.mark_meta is None)
                else P())
-    if arrays is not None and R.is_vseg(arrays):
+    if arrays is not None and R.is_row_tier(arrays):
+        vrle = R.is_vrle(arrays)
         return FMArrays(
             bwt=P(axis, None),
             occ_ckpt=P(),
@@ -428,6 +429,8 @@ def _specs_for_arrays(axis: str, arrays: FMArrays = None):
             seg_woff=P(axis),
             seg_syms=P(),
             mark_meta=mm_spec,
+            seg_rle=P() if vrle else None,
+            seg_cont=P(axis, None) if vrle else None,
         )
     l1_spec = P()
     if arrays is not None and arrays.occ_l1.shape[0] > 1:

@@ -347,7 +347,7 @@ def test_dist_doubling_fallback(mesh):
     assert stats["dbl_rounds"] > 0, stats
 
 
-@pytest.mark.parametrize("tier", ["compact", "packed", "vseg"])
+@pytest.mark.parametrize("tier", ["compact", "packed", "vseg", "vrle"])
 def test_sharded_tier_parity(mesh, tier):
     """Sharded compact/packed/vseg builds must answer count+locate exactly
     like the full sharded tier (judge round-2 item 4 + round-3 missing #2:
@@ -367,6 +367,9 @@ def test_sharded_tier_parity(mesh, tier):
         assert ix.arrays.bwt.dtype == jnp.uint32
     elif tier == "vseg":
         assert ix.arrays.seg_nsym is not None
+        assert ix.arrays.bwt.dtype == jnp.uint32
+    elif tier == "vrle":
+        assert ix.arrays.seg_rle is not None
         assert ix.arrays.bwt.dtype == jnp.uint32
     else:
         assert ix.arrays.occ_ckpt.dtype == jnp.uint16
@@ -402,7 +405,7 @@ def test_sharded_regexp_and_boolean(mesh):
             b"quick quack quim " * 4,
             b"nothing here"]
     prepared = ft.prepare_documents(docs)
-    for tier in ("full", "packed", "vseg"):
+    for tier in ("full", "packed", "vseg", "vrle"):
         ix = build_index_sharded(prepared, mesh, seg=32, mark_period=8,
                                  tier=tier)
         import re
@@ -575,3 +578,35 @@ def test_sharded_boolean_truncation_flagged(mesh, monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         dq.sharded_count_query(ix, mesh, "'aaaa' AND 'cccc'")
+
+
+def test_sharded_vrle_continuations(mesh):
+    """Sharded vrle on real English: continuation rows appear in the
+    per-shard seg_cont tables and count+locate stay exact (the round-4
+    compressed tier must shard like the round-3 one did)."""
+    import pydoc_data.topics as topics
+
+    buf = ("\n".join(sorted(topics.topics.values()))).encode()[:200000]
+    docs = [buf[i:i + 25000] for i in range(0, len(buf), 25000)]
+    prepared = ft.prepare_documents(docs)
+    ix = build_index_sharded(prepared, mesh, seg=64, mark_period=8,
+                             tier="vrle")
+    woff = np.asarray(ix.arrays.seg_woff)
+    assert (woff < -1).any(), "expected continuation segments"
+    assert ix.arrays.seg_cont.shape[1] > 1
+    pats = [b"Python", b"lambda", b"zzqq"]
+    packed, B = pack_patterns([pattern_to_alpha(p) for p in pats])
+    for routed in (True, False):
+        f, l = sharded_backward_search(ix, mesh, packed, routed=routed)
+        counts = (np.asarray(l) - np.asarray(f))[:B]
+        for p, c in zip(pats, counts):
+            assert c == naive_count(docs, p), (routed, p, c)
+    f, l = sharded_backward_search(ix, mesh, packed)
+    f0, l0 = int(np.asarray(f)[0]), int(np.asarray(l)[0])
+    rows = np.arange(f0, l0, dtype=np.int32)
+    pad = (-len(rows)) % 8
+    rowsp = np.concatenate([rows, np.full(pad, f0, np.int32)])
+    offs = np.asarray(sharded_locate(ix, mesh, rowsp))[: l0 - f0]
+    doc, off = ft.offsets_to_docs(ix, offs.astype(np.int64))
+    assert sorted(zip(doc.tolist(), off.tolist())) == \
+        naive_locate(docs, b"Python")
