@@ -726,7 +726,11 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
 
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    seg_rle = jnp.zeros((1, w_main), jnp.int32)
+    # marker shape: [2, w_main] when ANY RLE/continuation rows exist,
+    # [1, w_main] otherwise — rank.vrle_has_rle skips the slot machinery
+    # statically for pure fixed-width indexes (zipf/DNA-shaped corpora)
+    has_rle = bool((rle_np | cont_np).any())
+    seg_rle = jnp.zeros((2 if has_rle else 1, w_main), jnp.int32)
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
             jnp.asarray(seg_woff_np), seg_syms, seg_rle, seg_cont)
 

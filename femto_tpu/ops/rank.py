@@ -248,6 +248,53 @@ def _u8_stream(words: jax.Array) -> jax.Array:
     return (words[:, widx] >> shift[None, :]) & jnp.uint32(0xFF)
 
 
+def vrle_has_rle(arrays: FMArrays) -> bool:
+    """STATIC: does this vrle index contain any RLE/continuation rows?
+    Encoded in the marker's leading dim (build: 2 = some, 1 = none) so
+    pure fixed-width vrle indexes (zipf/DNA-shaped corpora) skip the
+    slot machinery entirely and serve at vseg speed."""
+    return arrays.seg_rle is not None and arrays.seg_rle.shape[0] > 1
+
+
+def _vrle_slots_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
+                         geom: "_VsegGeom"):
+    """(lsym, slen, starts) int32[B, NS] slot view of RLE-mode rows (plus
+    the continuation stream when present) — the HOT decode: rank and
+    code-at reduce over slots directly (clamp-sum / one-hot), with no
+    [B, seg] grid materialization and no scatter (a per-step scatter
+    measured 0.42M steps/s vs 10M, BENCH round 4)."""
+    slots = _u8_stream(row[:, :geom.W])
+    if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
+        woff = arrays.seg_woff[s]
+        cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
+        cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
+        slots = jnp.concatenate([slots, _u8_stream(cw)], axis=1)
+    ws = _vrle_ws(arrays.seg_nsym[s])
+    lenbits = (8 - ws).astype(jnp.uint32)[:, None]
+    lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)
+    lsym = (slots >> lenbits).astype(jnp.int32)
+    slen = (slots & lmask).astype(jnp.int32)
+    starts = jnp.cumsum(slen, axis=1) - slen
+    return lsym, slen, starts
+
+
+def _vrle_within(slot_view, lq: jax.Array, off: jax.Array) -> jax.Array:
+    """#occurrences of local code lq among the first `off` positions."""
+    lsym, slen, starts = slot_view
+    contrib = jnp.clip(off[:, None] - starts, 0, slen)
+    return jnp.sum(
+        jnp.where(lsym == lq[:, None], contrib, 0), axis=1
+    ).astype(jnp.int32)
+
+
+def _vrle_code_at(slot_view, off: jax.Array) -> jax.Array:
+    """Local code at offset `off` (0 for pad rows beyond the stream —
+    an arbitrary present code, same contract as the fixed-width tiers)."""
+    lsym, slen, starts = slot_view
+    hit = (starts <= off[:, None]) & (off[:, None] < starts + slen)
+    return jnp.sum(jnp.where(hit, lsym, 0), axis=1).astype(jnp.int32)
+
+
 def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
                         geom: "_VsegGeom") -> jax.Array:
     """Decode RLE-mode rows to the per-lane LOCAL code grid int32[B, seg]:
@@ -318,6 +365,37 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
     return g, is_side, row
 
 
+def _row_ctx(arrays: FMArrays, s: jax.Array):
+    """Hot-path per-lane decode context for the row tiers:
+    (geom, row, grid, is_side, mode_rle, slot_view).  `grid` is the
+    fixed-width (+side) decode — garbage in RLE-mode lanes, which the
+    callers mask with `mode_rle` and serve from `slot_view` instead
+    (clamp-sum, no grid materialization).  Pure-W vrle indexes
+    (vrle_has_rle False) skip the slot machinery statically."""
+    geom = _vseg_geom(arrays)
+    seg = geom.seg
+    row = jnp.take(arrays.bwt, s, axis=0)
+    g = _decode_static(row[:, :geom.Wmode], geom.w_main, seg)
+    ovf = arrays.seg_woff[s]
+    is_side = ovf > 0
+    if arrays.seg_ovf.shape[0] > 1:
+        n_side = arrays.seg_ovf.shape[0]
+
+        def with_side(g):
+            side = jnp.take(arrays.seg_ovf,
+                            jnp.clip(ovf, 0, n_side - 1), axis=0)
+            gs = _decode_static(side, geom.w_side, seg)
+            return jnp.where(is_side[:, None], gs, g)
+
+        g = jax.lax.cond(jnp.any(is_side), with_side, lambda g: g, g)
+    mode_rle = None
+    sv = None
+    if vrle_has_rle(arrays):
+        mode_rle = ovf < 0
+        sv = _vrle_slots_from_row(arrays, row, s, geom)
+    return geom, row, g, is_side, mode_rle, sv
+
+
 def _vseg_query_code(arrays: FMArrays, row: jax.Array, is_side: jax.Array,
                      cd: jax.Array):
     """Per-lane-space code of dense code cd (side segments use global
@@ -351,8 +429,15 @@ def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
     s = r // seg
     off = r - s * seg
     if is_row_tier(arrays):
-        segdata = _gather_segments_vseg(arrays, s)
-        return jnp.take_along_axis(segdata, off[:, None], axis=1)[:, 0]
+        _, rowm, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
+        lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
+        if sv is not None:
+            lc = jnp.where(mode_rle, _vrle_code_at(sv, off), lc)
+        syms = _vseg_syms_from_row(arrays, rowm)
+        SMAX = syms.shape[1]
+        cg = jnp.take_along_axis(
+            syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(is_side, lc, cg)
     if not is_packed(arrays):
         return arrays.bwt[s, off].astype(jnp.int32)
     per_word, bits = _pack_geometry(arrays)
@@ -390,13 +475,15 @@ def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
     at_end = r >= n_rows_total
     s = jnp.minimum(r // seg, n_segments(arrays) - 1)
     off = r - s * seg
-    grid, is_side, row = _vseg_local_grid(arrays, s)
+    _, row, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
     base = _vseg_base_from_row(arrays, row, s, cc)
     lq = _vseg_query_code(arrays, row, is_side, cc)
     iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
     within = jnp.sum(
         (grid == lq[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
+    if sv is not None:
+        within = jnp.where(mode_rle, _vrle_within(sv, lq, off), within)
     total = arrays.C[cc + 1] - arrays.C[cc]
     return jnp.where(valid, jnp.where(at_end, total, base + within), 0)
 
@@ -651,8 +738,10 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
         # ONE-row walk step: codes, the symbol map, the occ base, the
         # mark bit AND the mark rank all come from the same gathered row
         # (plus the small L1 point) — 5 gather streams collapsed to 2
-        grid, is_side, rowm = _vseg_local_grid(arrays, s)
+        _, rowm, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
         lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
+        if sv is not None:
+            lc = jnp.where(mode_rle, _vrle_code_at(sv, off), lc)
         syms = _vseg_syms_from_row(arrays, rowm)
         SMAX = syms.shape[1]
         cg = jnp.take_along_axis(
@@ -663,6 +752,9 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
         within = jnp.sum(
             (grid == lc[:, None]) & (iota < off[:, None]), axis=1
         ).astype(jnp.int32)
+        if sv is not None:
+            within = jnp.where(mode_rle, _vrle_within(sv, lc, off),
+                               within)
         bit, grank = _vseg_marks_from_row(arrays, rowm, r)
         return arrays.C[c] + base + within, bit, grank
 

@@ -1154,7 +1154,7 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
                         ndocs: int, cap_local: int, mark_geom, K: int,
                         w_main: int, A_words: int, C_words: int,
                         s_store: int, max_ovf: int, max_cont: int,
-                        axis: str):
+                        has_rle: bool, axis: str):
     """Per-shard vrle packaging: the sharded edition of
     build_ops._build_vrle.  Each shard re-derives its segments' modes
     from (nsym, slots) with the host-staged static thresholds — the
@@ -1250,7 +1250,7 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
     seg_nsym = _to_u8(nsym_blk)
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    seg_rle = jnp.zeros((1, w_main), jnp.int32)
+    seg_rle = jnp.zeros((2 if has_rle else 1, w_main), jnp.int32)
     occ_dummy = jnp.zeros((1, K), jnp.uint16)
     mark_bits_dummy = jnp.zeros((1, seg // 32), jnp.uint32)
     return (bwt_main, occ_dummy, occ_l1, C, mark_bits_dummy,
@@ -1503,6 +1503,7 @@ def build_index_sharded(
         cov2d = (rle_np | cont_np | wfit_np).reshape(D, nseg_loc)
         max_cont = int(cont2d.sum(axis=1).max())
         max_ovf = int((~cov2d).sum(axis=1).max())
+        has_rle = bool((rle_np | cont_np).any())
 
     from ..ops.build_ops import mark_pack_geom
 
@@ -1522,7 +1523,7 @@ def build_index_sharded(
                 cap_local=cap_local, mark_geom=mark_geom, K=K,
                 w_main=w_main, A_words=A_words, C_words=C_words,
                 s_store=s_store, max_ovf=max_ovf, max_cont=max_cont,
-                axis=axis,
+                has_rle=has_rle, axis=axis,
             )
             mapped = jax.shard_map(
                 fn, mesh=mesh,

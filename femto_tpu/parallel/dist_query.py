@@ -47,13 +47,15 @@ def _vseg_local_occ(arrays: FMArrays, sl: jax.Array, cc: jax.Array,
     """occ base + in-segment count for dense code cc at shard-LOCAL
     segment sl, row offset off — ONE main-row gather (the sharded twin of
     rank._occ_dense_vseg's hot path; occ_l1 rows carry the global base)."""
-    grid, is_side, row = R._vseg_local_grid(arrays, sl)
+    _, row, grid, is_side, mode_rle, sv = R._row_ctx(arrays, sl)
     base = R._vseg_base_from_row(arrays, row, sl, cc)
     lq = R._vseg_query_code(arrays, row, is_side, cc)
     iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
     within = jnp.sum(
         (grid == lq[:, None]) & (iota < off[:, None]), axis=1
     ).astype(jnp.int32)
+    if sv is not None:
+        within = jnp.where(mode_rle, R._vrle_within(sv, lq, off), within)
     return base + within
 
 
@@ -329,9 +331,11 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
             # fused one-row walk step (rank.lf_grank_step's vseg path with
             # shard-local ids): codes, symbol map, occ base, mark bit and
             # GLOBAL mark rank all from the same gathered serving row
-            grid, is_side, rowm = R._vseg_local_grid(arrays, sl)
+            _, rowm, grid, is_side, mode_rle, sv = R._row_ctx(arrays, sl)
             offc = jnp.clip(off, 0, seg - 1)
             lc = jnp.take_along_axis(grid, offc[:, None], axis=1)[:, 0]
+            if sv is not None:
+                lc = jnp.where(mode_rle, R._vrle_code_at(sv, offc), lc)
             syms = R._vseg_syms_from_row(arrays, rowm)
             SMAX = syms.shape[1]
             cg = jnp.take_along_axis(
@@ -342,6 +346,9 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
             within = jnp.sum(
                 (grid == lc[:, None]) & (iota < off[:, None]), axis=1
             ).astype(jnp.int32)
+            if sv is not None:
+                within = jnp.where(mode_rle, R._vrle_within(sv, lc, off),
+                                   within)
             lf = arrays.C[c] + base + within
             bit, grank = R._vseg_marks_from_row(arrays, rowm, r)
             mv = R.mark_offset(arrays, grank - arrays.mark_ckpt[0])
