@@ -703,47 +703,58 @@ def sharded_count_query(index, mesh: Mesh, query: str,
     return len(res.doc_set())
 
 
-# Boolean operands must be evaluated in full, but unbounded terms (e.g.
-# single-letter patterns on a >2^31 corpus) cannot be host-materialized
-# row-by-row: cap each term like the single-chip engine
-# (engine.BOOLEAN_TERM_CAP).
+# Per-term work bound used ONLY when the caller opts out of full
+# evaluation (full_eval=False): each Boolean operand then materializes at
+# most this many rows and truncation is surfaced.  Full evaluation (the
+# default) streams every row in SHARDED_LOCATE_WINDOW-row windows —
+# reference semantics (full result sets, results.h:115-121).
 SHARDED_TERM_CAP = 1_000_000
+
+# Rows located per sharded-locate dispatch during full-evaluation
+# streaming (bounds per-step device memory; engine.LOCATE_WINDOW analog).
+SHARDED_LOCATE_WINDOW = 1 << 20
 
 
 def _sharded_locate_docs(index, mesh, iv, axis, cap=None):
     """(docs, offsets, truncated) for a union of row intervals, via sharded
-    locate; at most `cap` rows are materialized/located (truncation mirrors
-    the single-chip engine's Boolean term cap and is FLAGGED — reference
-    semantics are full result sets, results.h:115-121)."""
+    locate.  cap=None streams ALL rows in SHARDED_LOCATE_WINDOW windows
+    (never truncated); a positive cap bounds materialization and FLAGS
+    truncation (the single-chip engine's full_eval=False behavior)."""
     from ..search import offsets_to_docs
 
-    if cap is None:
-        cap = SHARDED_TERM_CAP
     D = mesh.devices.size
     total = sum(l - f for f, l in iv)
-    truncated = total > cap
-    parts = []
+    truncated = cap is not None and total > cap
+    spans = []
     budget = cap
     for f, l in iv:
-        take = min(l - f, budget)
+        take = l - f if budget is None else min(l - f, budget)
         if take <= 0:
             break
-        parts.append(np.arange(f, f + take, dtype=np.int32))
-        budget -= take
-    rows = np.concatenate(parts or [np.zeros(0, np.int32)])
-    if rows.size == 0:
+        for wf in range(f, f + take, SHARDED_LOCATE_WINDOW):
+            spans.append((wf, min(wf + SHARDED_LOCATE_WINDOW, f + take)))
+        if budget is not None:
+            budget -= take
+    if not spans:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), truncated
-    pad = (-len(rows)) % D
-    rowsp = np.concatenate([rows, np.full(pad, rows[0], np.int32)])
-    offs = np.asarray(sharded_locate(index, mesh, rowsp, axis))[:len(rows)]
-    docs, offs = offsets_to_docs(index, offs.astype(np.int64))
-    return docs, offs, truncated
+    docs_all, offs_all = [], []
+    for wf, wl in spans:
+        rows = np.arange(wf, wl, dtype=np.int32)
+        pad = (-len(rows)) % D
+        rowsp = np.concatenate([rows, np.full(pad, rows[0], np.int32)])
+        offs = np.asarray(
+            sharded_locate(index, mesh, rowsp, axis))[:len(rows)]
+        d, o = offsets_to_docs(index, offs.astype(np.int64))
+        docs_all.append(d)
+        offs_all.append(o)
+    return np.concatenate(docs_all), np.concatenate(offs_all), truncated
 
 
-def _sharded_execute(index, mesh, node, axis):
+def _sharded_execute(index, mesh, node, axis, term_cap=None):
     """engine.execute against a sharded index: term results come from
     sharded ranges + sharded locate; Boolean combinators are the same
-    host-side Results algebra (query/results.py)."""
+    host-side Results algebra (query/results.py).  term_cap=None (the
+    default) evaluates operands in full."""
     from ..query.ast import QAnd, QNot, QOr, QTerm, QThen, QWithin
     from ..query.regexp import RegexpMatch, match_rows
     from ..query.results import Results, intersect, subtract, then_within, \
@@ -752,13 +763,14 @@ def _sharded_execute(index, mesh, node, axis):
     if isinstance(node, QTerm):
         ranges = sharded_term_ranges(index, mesh, node, axis)
         iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
-        docs, offs, truncated = _sharded_locate_docs(index, mesh, iv, axis)
+        docs, offs, truncated = _sharded_locate_docs(index, mesh, iv, axis,
+                                                     cap=term_cap)
         res = Results.from_doc_offsets(docs, offs)
         res.count = sum(l - f for f, l in iv)
         res.truncated = truncated
         return res
-    a = _sharded_execute(index, mesh, node.left, axis)
-    b = _sharded_execute(index, mesh, node.right, axis)
+    a = _sharded_execute(index, mesh, node.left, axis, term_cap)
+    b = _sharded_execute(index, mesh, node.right, axis, term_cap)
     if isinstance(node, QAnd):
         return intersect(a, b)
     if isinstance(node, QOr):
@@ -776,12 +788,14 @@ def sharded_docs_query(index, mesh: Mesh, query: str,
                        with_offsets: bool = True,
                        icase: bool = False,
                        max_matches: int = None,
-                       axis: str = DEFAULT_AXIS):
+                       axis: str = DEFAULT_AXIS,
+                       full_eval: bool = True):
     """find_docs against a mesh-sharded index: list of (doc_id, info,
     offsets) — term ranges from the sharded engines, offsets from
     sharded locate, Boolean algebra on the host (engine.docs_query
-    semantics).  Each term materializes at most SHARDED_TERM_CAP rows
-    (the single-chip engine's Boolean cap); max_matches limits the
+    semantics).  full_eval=True (default) evaluates every term exactly
+    (streamed, uncapped); full_eval=False bounds each term at
+    SHARDED_TERM_CAP rows and flags truncation.  max_matches limits the
     returned docs."""
     from ..query.engine import apply_icase
     from ..query.parser import parse_query
@@ -790,7 +804,8 @@ def sharded_docs_query(index, mesh: Mesh, query: str,
     node = parse_query(query)
     if icase:
         node = apply_icase(node)
-    res = _sharded_execute(index, mesh, node, axis)
+    res = _sharded_execute(index, mesh, node, axis,
+                           term_cap=None if full_eval else SHARDED_TERM_CAP)
     from ..query.engine import _warn_truncated
 
     _warn_truncated(res, query)

@@ -111,8 +111,19 @@ def find_strings(index: FMIndex, query: str,
         return run_regexp(index, nfa, node.approx, max_results=max_results)
 
 
+# Streaming locate window: offset-bearing terms with no cap walk their row
+# ranges in windows of this many rows (bounds device memory per dispatch;
+# ~1 s per window at the measured pyramid-walk rate, instant on the direct
+# tier), accumulating the FULL doc/offset set — the reference's semantics
+# (full result sets, results.h:115-121) with bounded peak footprint.
+LOCATE_WINDOW = 1 << 20
+
+
 def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
                  max_matches: Optional[int] = None) -> Results:
+    """Materialize one term's Results.  max_matches=None means FULL
+    evaluation: every matching row is located (in LOCATE_WINDOW-row
+    streaming windows) and the result is never truncated."""
     ranges = term_ranges(index, term)
     # union of match row intervals (distinct matching positions)
     iv = match_rows([RegexpMatch(f, l, c, b"") for f, l, c in ranges])
@@ -131,10 +142,11 @@ def term_results(index: FMIndex, term: QTerm, need_offsets: bool,
         take = l - f if budget is None else min(l - f, budget)
         if take <= 0:
             break
-        offs = locate_range(index, f, f + take)
-        d, o = offsets_to_docs(index, offs)
-        docs_all.append(d)
-        offs_all.append(o)
+        for wf in range(f, f + take, LOCATE_WINDOW):
+            offs = locate_range(index, wf, min(wf + LOCATE_WINDOW, f + take))
+            d, o = offsets_to_docs(index, offs)
+            docs_all.append(d)
+            offs_all.append(o)
         if budget is not None:
             budget -= take
     if docs_all:
@@ -166,24 +178,32 @@ def _warn_truncated(res: Results, query: str) -> None:
         )
 
 
-# Boolean operands must be evaluated in full (truncating a term's doc list
-# before AND/NOT would drop valid results); this caps pathological terms.
+# Per-term work bound applied ONLY when the caller opts out of full
+# evaluation (full_eval=False): Boolean operands are then capped at this
+# many materialized rows and truncation is surfaced.  With the default
+# full evaluation, operands stream ALL their rows (LOCATE_WINDOW windows)
+# and results are exact — the reference's semantics (results.h:115-121).
 BOOLEAN_TERM_CAP = 1_000_000
 
 
 def execute(index: FMIndex, node: QNode, need_offsets: bool = True,
             max_matches: Optional[int] = None,
+            term_cap: Optional[int] = None,
             _under_boolean: bool = False) -> Results:
-    """Evaluate a Boolean/regexp query tree to a Results set."""
+    """Evaluate a Boolean/regexp query tree to a Results set.
+
+    term_cap=None (the default) evaluates Boolean operands in FULL;
+    a positive term_cap bounds per-operand materialization (the caller
+    explicitly traded completeness for work) and truncation is flagged."""
     if isinstance(node, QTerm):
-        cap = BOOLEAN_TERM_CAP if _under_boolean else max_matches
+        cap = term_cap if _under_boolean else max_matches
         return term_results(index, node, need_offsets, cap)
     # THEN/WITHIN compare offsets, so operands must carry them even when
     # the caller only wants documents.
     child_offsets = need_offsets or isinstance(node, (QThen, QWithin))
-    a = execute(index, node.left, child_offsets, max_matches,
+    a = execute(index, node.left, child_offsets, max_matches, term_cap,
                 _under_boolean=True)
-    b = execute(index, node.right, child_offsets, max_matches,
+    b = execute(index, node.right, child_offsets, max_matches, term_cap,
                 _under_boolean=True)
     if isinstance(node, QAnd):
         return intersect(a, b)
@@ -209,7 +229,9 @@ def count_query(index: FMIndex, query: str, icase: bool = False) -> int:
             [RegexpMatch(f, l, c, b"") for f, l, c in term_ranges(index, node)]
         )
         return sum(l - f for f, l in iv)
-    res = execute(index, node)
+    # Boolean count only reads the doc set: route operands through the
+    # uncapped chunk doc-list path (THEN/WITHIN pull offsets themselves).
+    res = execute(index, node, need_offsets=False)
     _warn_truncated(res, query)
     return len(res.doc_set())
 
@@ -217,16 +239,20 @@ def count_query(index: FMIndex, query: str, icase: bool = False) -> int:
 def docs_query_ex(index: FMIndex, query: str,
                   max_matches: Optional[int] = None,
                   with_offsets: bool = True,
-                  icase: bool = False):
+                  icase: bool = False,
+                  full_eval: bool = True):
     """find_docs returning (rows, truncated): truncated=True means a
     Boolean term hit the materialization cap and the doc set may be
     incomplete (a top-level term limited by the CALLER's max_matches is
-    not flagged — that truncation was requested)."""
+    not flagged — that truncation was requested).  full_eval=True (the
+    default) evaluates Boolean operands exactly (streamed, uncapped);
+    full_eval=False bounds each operand at BOOLEAN_TERM_CAP rows."""
     node = parse_query(query)
     if icase:
         node = apply_icase(node)
     res = execute(index, node, need_offsets=with_offsets,
-                  max_matches=max_matches)
+                  max_matches=max_matches,
+                  term_cap=None if full_eval else BOOLEAN_TERM_CAP)
     out = []
     for d in res.doc_set():
         if res.type == ResultType.DOC_OFFSETS:
@@ -243,11 +269,14 @@ def docs_query_ex(index: FMIndex, query: str,
 def docs_query(index: FMIndex, query: str,
                max_matches: Optional[int] = None,
                with_offsets: bool = True,
-               icase: bool = False):
+               icase: bool = False,
+               full_eval: bool = True):
     """find_docs: list of (doc_id, info, offsets) matching the query.
-    Warns (TruncationWarning) when a Boolean term hit the cap."""
+    Boolean operands evaluate in full by default; with full_eval=False
+    they are capped and a TruncationWarning fires when the cap bites."""
     out, truncated = docs_query_ex(index, query, max_matches=max_matches,
-                                   with_offsets=with_offsets, icase=icase)
+                                   with_offsets=with_offsets, icase=icase,
+                                   full_eval=full_eval)
     if truncated:
         warnings.warn(
             f"query {query!r}: a term exceeded the Boolean materialization "

@@ -100,27 +100,30 @@ class _BatchCollector:
                     break
             counts = [(p, h) for k, p, h in batch if k == "count"]
             locs = [(p, h) for k, p, h in batch if k == "locate"]
+            # Stats update BEFORE result delivery: a waiter whose event is
+            # set may read .stats immediately, so incrementing after the
+            # events would race (observed as a rare stats-assertion flake).
+            self.stats["batches"] += 1
+            self.stats["queries"] += len(batch)
             if counts:
                 self._run_counts(counts)
             if locs:
                 self._run_locates(locs)
-            self.stats["batches"] += 1
-            self.stats["queries"] += len(batch)
 
     def _run_counts(self, items):
         try:
             packed, B = pack_patterns([p for p, _ in items])
             first, last = _count_jit_cached(self.index, packed)
             first, last = np.asarray(first), np.asarray(last)
+            self.stats["count_batches"] += 1  # before the events (see _run)
             for i, (_, holder) in enumerate(items):
                 holder["result"] = (int(first[i]), int(last[i]))
                 holder["event"].set()
-            self.stats["count_batches"] += 1
         except Exception as e:  # noqa: BLE001 — keep the collector alive
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
             for _, holder in items:
                 holder["error"] = e
                 holder["event"].set()
-            self.stats["errors"] = self.stats.get("errors", 0) + 1
 
     def _run_locates(self, items):
         try:
@@ -128,17 +131,17 @@ class _BatchCollector:
 
             rows = np.concatenate([p for p, _ in items])
             offs = locate_rows_array(self.index, rows)
+            self.stats["locate_batches"] += 1  # before the events (see _run)
             pos = 0
             for p, holder in items:
                 holder["result"] = offs[pos: pos + len(p)]
                 holder["event"].set()
                 pos += len(p)
-            self.stats["locate_batches"] += 1
         except Exception as e:  # noqa: BLE001
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
             for _, holder in items:
                 holder["error"] = e
                 holder["event"].set()
-            self.stats["errors"] = self.stats.get("errors", 0) + 1
 
     def stop(self):
         self._stop = True

@@ -567,17 +567,32 @@ def test_sharded_boolean_truncation_flagged(mesh, monkeypatch):
     ix = build_index_sharded(prepared, mesh, seg=32, mark_period=8)
     monkeypatch.setattr(dq, "SHARDED_TERM_CAP", 2)
     node = parse_query("'aaaa' AND 'bbbb'")
-    res = dq._sharded_execute(ix, mesh, node, "bins")
+    # default: full evaluation — exact even with a tiny opt-out cap set
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = dq._sharded_execute(ix, mesh, node, "bins")
+        assert not res.truncated
+        full_docs = {d for d, _, _ in
+                     dq.sharded_docs_query(ix, mesh, "'aaaa' AND 'bbbb'")}
+    # shrinking the streaming window must not change the answer
+    monkeypatch.setattr(dq, "SHARDED_LOCATE_WINDOW", 2)
+    assert {d for d, _, _ in
+            dq.sharded_docs_query(ix, mesh, "'aaaa' AND 'bbbb'")} \
+        == full_docs
+    monkeypatch.setattr(dq, "SHARDED_LOCATE_WINDOW", 1 << 20)
+    # opting out caps each operand and flags truncation
+    res = dq._sharded_execute(ix, mesh, node, "bins",
+                              term_cap=dq.SHARDED_TERM_CAP)
     assert res.truncated
     with pytest.warns(TruncationWarning):
-        dq.sharded_count_query(ix, mesh, "'aaaa' AND 'bbbb'")
-    with pytest.warns(TruncationWarning):
-        dq.sharded_docs_query(ix, mesh, "'aaaa' AND 'bbbb'")
-    # untruncated sharded Boolean stays clean
+        dq.sharded_docs_query(ix, mesh, "'aaaa' AND 'bbbb'",
+                              full_eval=False)
+    # uncapped opt-out sharded Boolean stays clean
     monkeypatch.setattr(dq, "SHARDED_TERM_CAP", 1_000_000)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        dq.sharded_count_query(ix, mesh, "'aaaa' AND 'cccc'")
+        dq.sharded_docs_query(ix, mesh, "'aaaa' AND 'cccc'",
+                              full_eval=False)
 
 
 def test_sharded_vrle_continuations(mesh):

@@ -257,36 +257,94 @@ def test_subsumption_prune(corpus):
 
 
 def test_boolean_truncation_flagged(corpus, monkeypatch):
-    """A Boolean term whose row count exceeds the materialization cap must
-    flag truncation (Results.truncated + TruncationWarning) — reference
-    semantics are full result sets (results.h:115-121), so wrongness is
-    never silent."""
+    """Default Boolean evaluation is FULL (exact, streamed, uncapped —
+    reference semantics, results.h:115-121); only a caller who opts out
+    (full_eval=False) gets capped terms, and THAT truncation is flagged
+    (Results.truncated + TruncationWarning), never silent."""
     import warnings
 
     from femto_tpu.query import engine
 
     docs, index = corpus
-    # every doc contains 'a'; cap below the total 'a' rows
+    # every doc contains 'a'; the opt-out cap sits below the 'a' rows
     total_a = count_query(index, "a")
     assert total_a > 4
     monkeypatch.setattr(engine, "BOOLEAN_TERM_CAP", 4)
     node = parse_query("a AND b")
-    res = engine.execute(index, node)
+    # default: full evaluation — exact, no truncation, no warning,
+    # regardless of the cap value
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = engine.execute(index, node)
+        assert not res.truncated
+        full_rows = engine.docs_query(index, "a AND b")
+        engine.count_query(index, "a AND b")
+    # opting out of full evaluation caps each operand and flags it
+    res = engine.execute(index, node, term_cap=engine.BOOLEAN_TERM_CAP)
     assert res.truncated
     with pytest.warns(engine.TruncationWarning):
-        engine.count_query(index, "a AND b")
-    with pytest.warns(engine.TruncationWarning):
-        engine.docs_query(index, "a AND b")
-    rows, truncated = engine.docs_query_ex(index, "a AND b")
+        capped_rows = engine.docs_query(index, "a AND b", full_eval=False)
+    rows, truncated = engine.docs_query_ex(index, "a AND b",
+                                           full_eval=False)
     assert truncated
-    # an untruncated Boolean stays clean
+    # the capped doc set is a subset of the exact one
+    assert {d for d, _, _ in capped_rows} <= {d for d, _, _ in full_rows}
+    # an uncapped opt-out Boolean stays clean
     monkeypatch.setattr(engine, "BOOLEAN_TERM_CAP", 1_000_000)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        engine.count_query(index, "black AND sheep")
+        engine.docs_query(index, "black AND sheep", full_eval=False)
     # a top-level term limited by the CALLER's max_matches is requested
     # truncation, not an incomplete Boolean: no warning
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         rows, truncated = engine.docs_query_ex(index, "a", max_matches=2)
     assert not truncated
+
+
+def test_boolean_and_over_million_row_term_exact():
+    """VERDICT r4 #6 'done' criterion: an AND whose operand matches more
+    than 1M rows (beyond one LOCATE_WINDOW) returns the EXACT doc set with
+    no TruncationWarning.  The direct-locate tier keeps the >1M-row
+    streaming locate fast on the CPU backend."""
+    import warnings
+
+    import femto_tpu as ft
+    from femto_tpu.query import engine
+
+    doc_len = 65536
+    ndocs = 20
+    b_docs = {3, 11, 17}
+    docs = []
+    for d in range(ndocs):
+        body = bytearray(b"a" * doc_len)
+        if d in b_docs:
+            body[100:101] = b"b"
+        docs.append(bytes(body))
+    prep = ft.prepare_documents(docs)
+    index = ft.build_index(prep, seg=256, mark_period=32, tier="packed",
+                           locate="direct")
+    total_a = engine.count_query(index, "a")
+    assert total_a > 1_000_000  # the term really exceeds one window
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {d for d, _, _ in engine.docs_query(index, "a AND b")}
+    assert got == b_docs
+
+
+def test_boolean_windowed_streaming_exact(corpus, monkeypatch):
+    """Full evaluation streams offset-bearing terms in LOCATE_WINDOW-row
+    windows; shrinking the window must not change any answer (exactness
+    across window boundaries)."""
+    from femto_tpu.query import engine
+
+    docs, index = corpus
+    want = {d for d, _, _ in engine.docs_query(index, "a AND b")}
+    monkeypatch.setattr(engine, "LOCATE_WINDOW", 8)
+    got = {d for d, _, _ in engine.docs_query(index, "a AND b")}
+    assert got == want
+    # THEN needs offsets from both operands: exercise the windowed path
+    want_t = [d for d, _, _ in engine.docs_query(index, "black THEN 6 sheep")]
+    monkeypatch.setattr(engine, "LOCATE_WINDOW", 4)
+    got_t = [d for d, _, _ in engine.docs_query(index, "black THEN 6 sheep")]
+    assert got_t == want_t
