@@ -72,13 +72,13 @@ def main():
     corpora["repo(py+md)"] = prepared2
     log(f"repo: {prepared2.n/1e6:.2f}M symbols, {prepared2.num_docs} docs")
 
-    # genuine English prose (python documentation topics)
+    # genuine English prose: UNIQUE docstring/pydoc text (corpus_real —
+    # ~18 MiB available; never tiled, so BWT runs are honest)
     try:
-        import pydoc_data.topics as _topics
-        buf = ("\n".join(_topics.topics.values())).encode()
-        nb = int(args.max_mb * (1 << 20))
-        pieces = [buf[i:i + 65536] for i in range(0, min(len(buf), nb),
-                                                  65536)]
+        from corpus_real import english_prose
+
+        buf = english_prose(args.max_mb)
+        pieces = [buf[i:i + 65536] for i in range(0, len(buf), 65536)]
         corpora["english(prose)"] = ft.prepare_documents(pieces)
         log(f"english: {corpora['english(prose)'].n/1e6:.2f}M symbols")
     except ImportError:

@@ -489,11 +489,37 @@ def _vrle_ws(nsym):
             + (n > 32)).astype(jnp.int32)
 
 
+# Sub-byte slot geometry (round 5, VERDICT r4 #3a): per-segment slot
+# width from {6, 8, 10} bits instead of fixed u8 — w_slot and lenbits
+# are FUNCTIONS of the segment's symbol width w_s, so no extra storage:
+#   w_s 1-2 -> 6-bit slots, w_s 3-4 -> 8-bit, w_s 5-6 -> 10-bit;
+#   lenbits = w_slot - w_s in {4, 5} (run cap 15/31 >= the measured
+#   3.5-4.2 mean BWT run on real text).  The byte-aligned u8 slot paid
+#   ~1.1 B/run where gamma pays ~0.6; 10-bit slots with a 15-run cap
+#   cut the dominant prose case (w_s = 6: u8 had lenbits 2, cap 3 — a
+#   mean run cost ~2 slots) to ~1.25 B/run in ONE slot.
+VRLE_SLOT_WIDTHS = (6, 8, 10)
+
+
+def vrle_slot_geom_np(nsym: np.ndarray):
+    """(w_slot, lenbits) per segment — host edition."""
+    ws = vrle_ws_np(nsym)
+    w_slot = 6 + 2 * ((ws > 2).astype(np.int32) + (ws > 4).astype(np.int32))
+    return w_slot, w_slot - ws
+
+
+def _vrle_slot_geom(nsym):
+    """(w_slot, lenbits) per segment — device edition."""
+    ws = _vrle_ws(nsym)
+    w_slot = 6 + 2 * ((ws > 2).astype(jnp.int32) + (ws > 4).astype(jnp.int32))
+    return w_slot, w_slot - ws
+
+
 @functools.partial(jax.jit, static_argnames=("seg", "SMAX"))
 def _vrle_slot_stats(codes2d, syms, nsym, *, seg, SMAX):
-    """Per-segment RLE slot count at that segment's width (device,
-    chunked): runs of the LOCAL code sequence, long runs split at the
-    slot's length capacity 2^(8 - w_s) - 1."""
+    """Per-segment RLE slot count at that segment's sub-byte slot
+    geometry (device, chunked): runs of the LOCAL code sequence, long
+    runs split at the slot's length capacity 2^lenbits - 1."""
     PAD = 1 << 20
 
     def chunk(args):
@@ -502,8 +528,8 @@ def _vrle_slot_stats(codes2d, syms, nsym, *, seg, SMAX):
         lc = jnp.sum((sy[:, None, :] < codes[:, :, None]).astype(jnp.int32),
                      axis=2)
         lc = jnp.where(codes < PAD, lc, 0)
-        ws = _vrle_ws(ns)
-        maxlen = (jnp.int32(1) << (8 - ws)) - 1              # [CH]
+        _, lenbits = _vrle_slot_geom(ns)
+        maxlen = (jnp.int32(1) << lenbits) - 1               # [CH]
         iota = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 1)
         brk = jnp.concatenate(
             [jnp.ones((CH, 1), bool), lc[:, 1:] != lc[:, :-1]], axis=1)
@@ -527,15 +553,36 @@ def _vrle_slot_stats(codes2d, syms, nsym, *, seg, SMAX):
     return slots.reshape(-1)[:n_seg]
 
 
+def _pack_bit_slots(vals, w: int, W: int):
+    """Bit-pack slot values uint32[CH, NS] (< 2^w each) at STATIC width w
+    into uint32[CH, W] words: slot k occupies bits [k*w, k*w + w), little
+    endian, straddling word boundaries.  Two constant-index scatter-adds
+    (slot fields never overlap, so add == or)."""
+    CH, NS = vals.shape
+    k = np.arange(NS)
+    wi = ((k * w) >> 5).astype(np.int32)
+    sh = ((k * w) & 31).astype(np.uint32)
+    shd = jnp.asarray(sh)
+    lo = vals << shd[None, :]                        # low 32 bits land here
+    hi = jnp.where(shd[None, :] > 0,
+                   vals >> ((jnp.uint32(32) - shd) & jnp.uint32(31))[None, :],
+                   jnp.uint32(0))
+    out = jnp.zeros((CH, W + 2), jnp.uint32)
+    out = out.at[:, jnp.asarray(np.minimum(wi, W))].add(lo, mode="drop")
+    out = out.at[:, jnp.asarray(np.minimum(wi + 1, W + 1))].add(
+        hi, mode="drop")
+    return out[:, :W]
+
+
 @functools.partial(jax.jit, static_argnames=("seg", "SMAX", "A_words"))
 def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
-    """Pack each segment's runs into u8 slots (local_sym << lenbits |
-    len), len in [1, 2^lenbits - 1] (0 = padding slot contributing
-    nothing), lenbits = 8 - w_s per segment.  Returns
-    uint32[n_seg, A_words] (slots beyond the capacity drop — such
-    segments are never served in RLE mode)."""
+    """Pack each segment's runs into SUB-BYTE slots (local_sym << lenbits
+    | len) at the segment's slot geometry (_vrle_slot_geom: 6/8/10-bit
+    slots), len in [1, 2^lenbits - 1] (0 = padding contributing
+    nothing).  Returns uint32[n_seg, A_words] (slots beyond the bit
+    capacity drop — such segments are never served in RLE mode)."""
     PAD = 1 << 20
-    A_bytes = A_words * 4
+    NS_CAP = (A_words * 32) // min(VRLE_SLOT_WIDTHS)
 
     def chunk(args):
         codes, sy, ns = args
@@ -543,9 +590,8 @@ def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
         lc = jnp.sum((sy[:, None, :] < codes[:, :, None]).astype(jnp.int32),
                      axis=2)
         lc = jnp.where(codes < PAD, lc, 0)
-        ws = _vrle_ws(ns)
-        lenbits = (8 - ws).astype(jnp.uint32)                # [CH]
-        maxlen = (jnp.int32(1) << (8 - ws)) - 1
+        w_slot, lenbits = _vrle_slot_geom(ns)
+        maxlen = (jnp.int32(1) << lenbits) - 1
         iota = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 1)
         rowi = jax.lax.broadcasted_iota(jnp.int32, lc.shape, 0)
         brk = jnp.concatenate(
@@ -563,15 +609,20 @@ def _vrle_pack_slots(codes2d, syms, nsym, *, seg, SMAX, A_words):
         nxt = jnp.concatenate(
             [sm[:, 1:], jnp.full((CH, 1), seg, jnp.int32)], axis=1)
         slot_len = nxt - iota
-        byte = ((lc.astype(jnp.uint32) << lenbits[:, None])
-                | slot_len.astype(jnp.uint32))
-        tgt = jnp.where(is_slot & (slot_idx < A_bytes), slot_idx, A_bytes)
-        grid = jnp.zeros((CH, A_bytes + 1), jnp.uint32).at[
-            rowi, tgt].set(byte, mode="drop")[:, :A_bytes]
-        g4 = grid.reshape(CH, A_words, 4)
-        shifts = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(8)
-        return jnp.sum(g4 << shifts[None, None, :], axis=2,
-                       dtype=jnp.uint32)
+        val = ((lc.astype(jnp.uint32) << lenbits.astype(jnp.uint32)[:, None])
+               | slot_len.astype(jnp.uint32))
+        # per-segment slot capacity in slots at ITS width
+        ns_lim = (A_words * 32) // w_slot                    # [CH]
+        tgt = jnp.where(is_slot & (slot_idx < ns_lim[:, None]),
+                        slot_idx, NS_CAP)
+        grid = jnp.zeros((CH, NS_CAP + 1), jnp.uint32).at[
+            rowi, tgt].set(val, mode="drop")[:, :NS_CAP]
+        # three static bit-packers, selected per segment by its width
+        packs = [_pack_bit_slots(grid, w, A_words) for w in VRLE_SLOT_WIDTHS]
+        out = packs[0]
+        for w, p in zip(VRLE_SLOT_WIDTHS[1:], packs[1:]):
+            out = jnp.where((w_slot == w)[:, None], p, out)
+        return out
 
     CH = 256
     n_seg = codes2d.shape[0]
@@ -602,14 +653,18 @@ def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
     sym_b = 2 if wide else 1
     per = 2 if wide else 4
     rle_alpha = (nsym_np <= VRLE_SMAX) & (nsym_np < 255)
+    # sub-byte slots: a segment's code-area demand is slots * w_slot BITS
+    w_slot_np, _ = vrle_slot_geom_np(nsym_np)
+    bits_np = slots_np.astype(np.int64) * w_slot_np
     best = None
-    pcts = np.percentile(slots_np, [30, 40, 50, 60, 70, 80, 90, 95, 99]) \
+    pcts = np.percentile(bits_np / 32.0,
+                         [30, 40, 50, 60, 70, 80, 90, 95, 99]) \
         if n_seg else np.array([seg])
     for w_eff, Wm in vseg_width_candidates(seg):
         wfit = (nsym_np <= (1 << w_eff)) & (nsym_np < 255)
         a_cands = {Wm}
         for p in pcts:
-            a_cands.add(max(int(-(-p // 4)), Wm))
+            a_cands.add(max(int(np.ceil(p)), Wm))
         a_cands.add(seg // 4)
         for A in sorted(a_cands):
             if A > max(seg // 2, Wm):
@@ -617,9 +672,9 @@ def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
             for C in (0, A // 2, A, 2 * A):
                 if C > seg // 4 and C > A:
                     continue
-                rle = rle_alpha & (slots_np <= A * 4)
+                rle = rle_alpha & (bits_np <= A * 32)
                 cont = (rle_alpha & ~rle
-                        & (slots_np <= (A + C) * 4)) if C else \
+                        & (bits_np <= (A + C) * 32)) if C else \
                     np.zeros_like(rle)
                 cov = rle | cont | wfit
                 n_cov = int(cov.sum())
@@ -645,12 +700,14 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
 
     Main row: [code area A_words | symbol list | mark words | mark ckpt |
     uint16-relative occ ckpts].  Per segment the code area holds EITHER
-    u8 RLE slots (local_sym << lenbits | len, lenbits = 8 - w_s from the
-    segment's own alphabet, long runs split) — seg_woff == -1 — or
-    fixed w_main-bit codes (seg_woff == 0), with the global-code side
-    table (seg_woff > 0) for segments neither covers.  seg_rle is a
-    [1, w_main] dummy marking the tier (rank.is_vrle) and carrying the
-    static W-mode width."""
+    sub-byte RLE slots (local_sym << lenbits | len at the segment's
+    6/8/10-bit slot geometry, _vrle_slot_geom; long runs split) —
+    seg_woff == -1 — or fixed w_main-bit codes (seg_woff == 0), with the
+    global-code side table (seg_woff > 0) for segments neither covers.
+    seg_rle is a dummy marking the tier (rank.is_vrle) and carrying the
+    static W-mode width; its leading dim encodes the slot scheme
+    (1 = no RLE rows, 2 = legacy u8 slots from older saved indexes,
+    3 = sub-byte slots)."""
     K = int(used.shape[0])
     used_dev = jnp.asarray(used)
 
@@ -726,11 +783,12 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
 
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    # marker shape: [2, w_main] when ANY RLE/continuation rows exist,
-    # [1, w_main] otherwise — rank.vrle_has_rle skips the slot machinery
-    # statically for pure fixed-width indexes (zipf/DNA-shaped corpora)
+    # marker shape: [3, w_main] when ANY RLE/continuation rows exist
+    # (3 = sub-byte slot scheme; 2 would mean legacy u8 slots of older
+    # saved indexes), [1, w_main] otherwise — rank.vrle_has_rle skips the
+    # slot machinery statically for pure fixed-width indexes
     has_rle = bool((rle_np | cont_np).any())
-    seg_rle = jnp.zeros((2 if has_rle else 1, w_main), jnp.int32)
+    seg_rle = jnp.zeros((3 if has_rle else 1, w_main), jnp.int32)
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
             jnp.asarray(seg_woff_np), seg_syms, seg_rle, seg_cont)
 

@@ -38,9 +38,23 @@ def seg_size(arrays: FMArrays) -> int:
     return arrays.mark_bits.shape[1] * 32
 
 
+def _bwt_row(arrays: FMArrays, s: jax.Array) -> jax.Array:
+    """Serving-row gather for the row tiers.  With seg_slot set (paged
+    serving, paged.PagedIndex), `bwt` is a device row CACHE and true
+    segment ids map through the indirection — the driver guarantees
+    every touched segment is mapped before dispatch (uncached segments
+    point at dummy slot 0 and are never touched)."""
+    if arrays.seg_slot is not None:
+        s = jnp.take(arrays.seg_slot, s, axis=0)
+    return jnp.take(arrays.bwt, s, axis=0)
+
+
 def n_segments(arrays: FMArrays) -> int:
     """Segment count (vseg keeps checkpoints inside its serving rows and
-    occ_ckpt is a 1-row dtype marker there)."""
+    occ_ckpt is a 1-row dtype marker there).  Paged serving: `bwt` is a
+    CACHE, so the true count comes from the seg_slot indirection."""
+    if arrays.seg_slot is not None:
+        return arrays.seg_slot.shape[0]
     if arrays.seg_nsym is not None:
         return arrays.bwt.shape[0]
     return arrays.occ_ckpt.shape[0]
@@ -239,6 +253,18 @@ def _vrle_ws(nsym):
             + (n > 32)).astype(jnp.int32)
 
 
+# serve-side twin of build_ops.VRLE_SLOT_WIDTHS / _vrle_slot_geom
+_VRLE_SLOT_WIDTHS = (6, 8, 10)
+
+
+def _vrle_slot_geom(nsym):
+    """(w_slot, lenbits): the sub-byte slot geometry, a pure function of
+    the segment's symbol count (no extra storage)."""
+    ws = _vrle_ws(nsym)
+    w_slot = 6 + 2 * ((ws > 2).astype(jnp.int32) + (ws > 4).astype(jnp.int32))
+    return w_slot, w_slot - ws
+
+
 def _u8_stream(words: jax.Array) -> jax.Array:
     """uint32[B, W] -> uint32[B, 4W] little-endian byte stream (constant
     indices: a broadcast/slice, not a data gather)."""
@@ -248,12 +274,42 @@ def _u8_stream(words: jax.Array) -> jax.Array:
     return (words[:, widx] >> shift[None, :]) & jnp.uint32(0xFF)
 
 
+def _bit_slot_stream(words: jax.Array, w: int, NS: int) -> jax.Array:
+    """uint32[B, Wtot] -> uint32[B, NS] w-bit little-endian bit fields
+    (slot k = bits [k*w, k*w + w), straddling words; constant indices).
+    Fields past the bit capacity are zero (len-0 padding slots)."""
+    Wtot = words.shape[1]
+    ns_real = (Wtot * 32) // w
+    k = np.arange(min(NS, ns_real))
+    wi = (k * w) >> 5
+    sh = ((k * w) & 31).astype(np.uint32)
+    wi2 = np.minimum(wi + 1, Wtot - 1)
+    shd = jnp.asarray(sh)
+    lo = words[:, jnp.asarray(wi.astype(np.int32))] >> shd[None, :]
+    hi = jnp.where(
+        shd[None, :] == 0, jnp.uint32(0),
+        words[:, jnp.asarray(wi2.astype(np.int32))]
+        << ((jnp.uint32(32) - shd) & jnp.uint32(31))[None, :])
+    out = (lo | hi) & jnp.uint32((1 << w) - 1)
+    if out.shape[1] < NS:
+        out = jnp.concatenate(
+            [out, jnp.zeros((out.shape[0], NS - out.shape[1]), jnp.uint32)],
+            axis=1)
+    return out
+
+
 def vrle_has_rle(arrays: FMArrays) -> bool:
     """STATIC: does this vrle index contain any RLE/continuation rows?
-    Encoded in the marker's leading dim (build: 2 = some, 1 = none) so
-    pure fixed-width vrle indexes (zipf/DNA-shaped corpora) skip the
-    slot machinery entirely and serve at vseg speed."""
+    Encoded in the marker's leading dim (build: 3 = sub-byte slots,
+    2 = legacy u8 slots, 1 = none) so pure fixed-width vrle indexes
+    (zipf/DNA-shaped corpora) skip the slot machinery entirely and serve
+    at vseg speed."""
     return arrays.seg_rle is not None and arrays.seg_rle.shape[0] > 1
+
+
+def vrle_subbyte(arrays: FMArrays) -> bool:
+    """STATIC: sub-byte (6/8/10-bit) slot scheme vs legacy u8 slots."""
+    return arrays.seg_rle is not None and arrays.seg_rle.shape[0] >= 3
 
 
 def _vrle_slots_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
@@ -262,17 +318,33 @@ def _vrle_slots_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
     the continuation stream when present) — the HOT decode: rank and
     code-at reduce over slots directly (clamp-sum / one-hot), with no
     [B, seg] grid materialization and no scatter (a per-step scatter
-    measured 0.42M steps/s vs 10M, BENCH round 4)."""
-    slots = _u8_stream(row[:, :geom.W])
+    measured 0.42M steps/s vs 10M, BENCH round 4).
+
+    Sub-byte scheme (marker dim 3): the code-area words (main +
+    continuation, concatenated at WORD level — a slot may straddle the
+    boundary) are decoded by three STATIC-width extractors (6/8/10 bits,
+    pure shifts on constant indices) and selected per lane by the
+    segment's slot geometry.  Legacy u8 indexes keep the byte stream."""
+    words = row[:, :geom.W]
     if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
         woff = arrays.seg_woff[s]
         cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
         cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
-        slots = jnp.concatenate([slots, _u8_stream(cw)], axis=1)
-    ws = _vrle_ws(arrays.seg_nsym[s])
-    lenbits = (8 - ws).astype(jnp.uint32)[:, None]
-    lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)
-    lsym = (slots >> lenbits).astype(jnp.int32)
+        words = jnp.concatenate([words, cw], axis=1)
+    if vrle_subbyte(arrays):
+        w_slot, lenbits = _vrle_slot_geom(arrays.seg_nsym[s])
+        NS = (words.shape[1] * 32) // min(_VRLE_SLOT_WIDTHS)
+        slots = _bit_slot_stream(words, _VRLE_SLOT_WIDTHS[0], NS)
+        for w in _VRLE_SLOT_WIDTHS[1:]:
+            slots = jnp.where((w_slot == w)[:, None],
+                              _bit_slot_stream(words, w, NS), slots)
+        lb = lenbits.astype(jnp.uint32)[:, None]
+    else:
+        slots = _u8_stream(words)
+        ws = _vrle_ws(arrays.seg_nsym[s])
+        lb = (8 - ws).astype(jnp.uint32)[:, None]
+    lmask = (jnp.uint32(1) << lb) - jnp.uint32(1)
+    lsym = (slots >> lb).astype(jnp.int32)
     slen = (slots & lmask).astype(jnp.int32)
     starts = jnp.cumsum(slen, axis=1) - slen
     return lsym, slen, starts
@@ -297,37 +369,21 @@ def _vrle_code_at(slot_view, off: jax.Array) -> jax.Array:
 
 def _vrle_grid_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
                         geom: "_VsegGeom") -> jax.Array:
-    """Decode RLE-mode rows to the per-lane LOCAL code grid int32[B, seg]:
-    unpack the u8 slots (local_sym << lenbits | len, len 0 = padding),
-    scatter each slot's symbol at its start position and forward-fill
-    (cummax of (start << 8 | sym+1)).  Position 0 of every real segment
-    starts a slot, so real positions always fill; tail-pad rows decode to
-    an arbitrary present code (same contract as the fixed-width tiers).
+    """Decode RLE-mode rows to the per-lane LOCAL code grid int32[B, seg]
+    (cold path — gather_segments): take the slot view, scatter each
+    slot's symbol at its start position and forward-fill (cummax of
+    (start << 8 | sym+1)).  Position 0 of every real segment starts a
+    slot, so real positions always fill; tail-pad rows decode to an
+    arbitrary present code (same contract as the fixed-width tiers).
 
-    Segments whose slots exceed the main code area continue in ONE
-    seg_cont row (seg_woff == -(1 + cont_row)); the continuation stream
-    concatenates after the main stream — its padding slots have len 0
-    and contribute nothing, so non-continued lanes are unaffected.  The
-    cont gather is lax.cond-gated like the side table."""
+    Continuation segments (seg_woff == -(1 + cont_row)) concatenate their
+    seg_cont words after the main stream inside _vrle_slots_from_row —
+    padding slots have len 0 and contribute nothing, so non-continued
+    lanes (reading the all-zero dummy row 0) are unaffected."""
     seg = geom.seg
     B = row.shape[0]
-    slots = _u8_stream(row[:, :geom.W])
-    if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
-        # continuation segments are 30-60% of real text, so the gather is
-        # unconditional (a lax.cond would fire every step anyway, and its
-        # branches disagree on shard_map varying axes); non-continued
-        # lanes read the all-zero dummy row 0 (len-0 slots)
-        woff = arrays.seg_woff[s]
-        cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
-        cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
-        slots = jnp.concatenate([slots, _u8_stream(cw)], axis=1)
-    ws = _vrle_ws(arrays.seg_nsym[s])
-    lenbits = (8 - ws).astype(jnp.uint32)[:, None]
-    lmask = (jnp.uint32(1) << lenbits) - jnp.uint32(1)
-    lsym = (slots >> lenbits).astype(jnp.int32)
-    slen = (slots & lmask).astype(jnp.int32)
-    starts = jnp.cumsum(slen, axis=1) - slen
-    rowb = jax.lax.broadcasted_iota(jnp.int32, slots.shape, 0)
+    lsym, slen, starts = _vrle_slots_from_row(arrays, row, s, geom)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, lsym.shape, 0)
     tgt = jnp.where(slen > 0, jnp.minimum(starts, seg), seg)
     pk = (starts << 8) | (lsym + 1)
     z = jnp.zeros((B, seg + 1), jnp.int32).at[rowb, tgt].set(
@@ -344,7 +400,7 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
     their RLE mode in-register (zero extra gathers)."""
     geom = _vseg_geom(arrays)
     seg = geom.seg
-    row = jnp.take(arrays.bwt, s, axis=0)             # [B, total] rows
+    row = _bwt_row(arrays, s)                         # [B, total] rows
     g = _decode_static(row[:, :geom.Wmode], geom.w_main, seg)
     if arrays.seg_rle is not None:
         g_rle = _vrle_grid_from_row(arrays, row, s, geom)
@@ -374,7 +430,7 @@ def _row_ctx(arrays: FMArrays, s: jax.Array):
     (vrle_has_rle False) skip the slot machinery statically."""
     geom = _vseg_geom(arrays)
     seg = geom.seg
-    row = jnp.take(arrays.bwt, s, axis=0)
+    row = _bwt_row(arrays, s)
     g = _decode_static(row[:, :geom.Wmode], geom.w_main, seg)
     ovf = arrays.seg_woff[s]
     is_side = ovf > 0
@@ -456,7 +512,7 @@ def ckpt_base(arrays: FMArrays, s: jax.Array, c: jax.Array) -> jax.Array:
     the serving row (generic callers pay one row gather here — the hot
     paths share the row they already gathered)."""
     if is_row_tier(arrays):
-        row = jnp.take(arrays.bwt, s, axis=0)
+        row = _bwt_row(arrays, s)
         return _vseg_base_from_row(arrays, row, s, c)
     if arrays.occ_ckpt.dtype == jnp.uint16:
         rel = arrays.occ_ckpt[s, c].astype(jnp.int32)
@@ -651,7 +707,7 @@ def marked(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """bool[B]: is row r mark-sampled?"""
     seg = seg_size(arrays)
     if is_row_tier(arrays):
-        row = jnp.take(arrays.bwt, r // seg, axis=0)
+        row = _bwt_row(arrays, r // seg)
         bit, _ = _vseg_marks_from_row(arrays, row, r)
         return bit
     words_per_seg = seg // 32
@@ -664,7 +720,7 @@ def mark_rank(arrays: FMArrays, r: jax.Array) -> jax.Array:
     """#marked rows before row r (index into mark_vals)."""
     seg = seg_size(arrays)
     if is_row_tier(arrays):
-        row = jnp.take(arrays.bwt, r // seg, axis=0)
+        row = _bwt_row(arrays, r // seg)
         _, grank = _vseg_marks_from_row(arrays, row, r)
         return grank
     words_per_seg = seg // 32

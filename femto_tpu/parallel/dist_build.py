@@ -1191,9 +1191,13 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
     w_eff = _vseg_width_for(seg, w_main)[0]
 
     alpha_ok = (nsym_blk <= VRLE_SMAX) & (nsym_blk < 255)
-    rle = alpha_ok & (slots_blk <= A_words * 4)
+    # sub-byte slots: demand is slots * w_slot BITS (vrle_plan twin)
+    from ..ops.build_ops import _vrle_slot_geom as _slot_geom
+    w_slot_blk, _lb = _slot_geom(nsym_blk)
+    bits_blk = slots_blk * w_slot_blk
+    rle = alpha_ok & (bits_blk <= A_words * 32)
     if C_words:
-        cont = alpha_ok & ~rle & (slots_blk <= (A_words + C_words) * 4)
+        cont = alpha_ok & ~rle & (bits_blk <= (A_words + C_words) * 32)
     else:
         cont = jnp.zeros_like(rle)
     wfit = (nsym_blk <= (1 << w_eff)) & (nsym_blk < 255)
@@ -1250,7 +1254,8 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
     seg_nsym = _to_u8(nsym_blk)
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    seg_rle = jnp.zeros((2 if has_rle else 1, w_main), jnp.int32)
+    # 3 = sub-byte slot scheme (build_ops._vrle_slot_geom); 1 = no RLE rows
+    seg_rle = jnp.zeros((3 if has_rle else 1, w_main), jnp.int32)
     occ_dummy = jnp.zeros((1, K), jnp.uint16)
     mark_bits_dummy = jnp.zeros((1, seg // 32), jnp.uint32)
     return (bwt_main, occ_dummy, occ_l1, C, mark_bits_dummy,
