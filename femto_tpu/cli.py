@@ -33,14 +33,17 @@ import numpy as np
 def _load_index(path: str):
     import os
 
-    from .fmindex import FMIndex
-
     if os.path.isdir(path) and os.path.exists(
             os.path.join(path, "multi.json")):
         from .multi import MultiIndex
 
         return MultiIndex.load(path)
-    return FMIndex.load(path)
+    # FEMTO_TPU_HBM_BUDGET (bytes): flat row-tier indexes larger than the
+    # budget open in PAGED mode (paged.PagedIndex) — rows stay on disk,
+    # a device cache serves them (the external-memory serving story)
+    from .paged import load_auto
+
+    return load_auto(path)
 
 
 def cmd_index(args) -> int:

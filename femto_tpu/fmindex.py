@@ -208,6 +208,14 @@ class FMArrays(NamedTuple):
     # these rows (seg_woff == -(1 + cont_row)); lets the main area sit at
     # the slot-count MEDIAN instead of ~P95
     seg_cont: Optional[jax.Array] = None
+    # larger-than-HBM paged serving (paged.PagedIndex): when set, `bwt`
+    # is a DEVICE ROW CACHE and seg_slot[s] maps true segment ids to
+    # cache slots (slot 0 = dummy/uncached; the paged driver guarantees
+    # every segment a dispatch touches is mapped first).  The TPU analog
+    # of the reference's bucket/block LRU caches over mmap'd blocks
+    # (index.c:1222, server.c:3383; femto.pdf §4.1 — 182 GB served from
+    # one machine's disks).  None = fully HBM-resident (no indirection).
+    seg_slot: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -380,9 +388,11 @@ class FMIndex:
                 f.write(b"\0" * ((-len(b)) % self.PAGE))
 
     @classmethod
-    def load_flat(cls, path: str) -> "FMIndex":
-        """Load a flat index file; arrays are memory-mapped then staged to
-        device on first use."""
+    def parse_flat(cls, path: str):
+        """Parse a flat index file WITHOUT uploading anything: returns
+        (meta, infos, arrs) where arrs maps array names to host numpy
+        views (np.memmap for uncompressed blobs — the disk-resident
+        entry point of the paged serving tier, paged.PagedIndex)."""
         with open(path, "rb") as f:
             magic = f.read(len(cls.MAGIC))
             if magic != cls.MAGIC:
@@ -411,6 +421,13 @@ class FMIndex:
                     offset=m["offset"],
                     shape=tuple(m["shape"]),
                 )
+        return meta, infos, arrs
+
+    @classmethod
+    def load_flat(cls, path: str) -> "FMIndex":
+        """Load a flat index file; arrays are memory-mapped then staged to
+        device on first use."""
+        meta, infos, arrs = cls.parse_flat(path)
         doc_starts_np = np.asarray(arrs.pop("doc_starts_np"))
         header_lens_np = None
         if "header_lens_np" in arrs:

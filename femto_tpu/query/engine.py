@@ -61,7 +61,9 @@ def term_ranges(index: FMIndex, term: QTerm,
         f, l = int(first[0]), int(last[0])
         return [(f, l, 0)] if l > f else []
     nfa = compile_nfa(regexp)
-    if device_frontier:
+    # paged indexes (paged.PagedIndex) fault per layer, which only the
+    # host engine's layer-at-a-time dispatch structure supports
+    if device_frontier and not hasattr(index, "_ensure_rows"):
         from .regexp_device import run_regexp_device
 
         try:
@@ -103,12 +105,15 @@ def find_strings(index: FMIndex, query: str,
         f, l = int(first[0]), int(last[0])
         return [RegexpMatch(f, l, 0, lit)] if l > f else []
     nfa = compile_nfa(regexp)
-    try:
-        from .regexp_device import run_regexp_device
+    if not hasattr(index, "_ensure_rows"):  # device frontier, unless paged
+        try:
+            from .regexp_device import run_regexp_device
 
-        return run_regexp_device(index, nfa, node.approx, with_strings=True)
-    except RuntimeError:
-        return run_regexp(index, nfa, node.approx, max_results=max_results)
+            return run_regexp_device(index, nfa, node.approx,
+                                     with_strings=True)
+        except RuntimeError:
+            pass
+    return run_regexp(index, nfa, node.approx, max_results=max_results)
 
 
 # Streaming locate window: offset-bearing terms with no cap walk their row

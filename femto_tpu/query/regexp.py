@@ -65,6 +65,12 @@ def _backward_step(index: FMIndex, cs, firsts, lasts):
     f = np.zeros(Bp, dtype=np.int32)
     l = np.zeros(Bp, dtype=np.int32)
     c[:B], f[:B], l[:B] = cs, firsts, lasts
+    # paged index (paged.PagedIndex): fault the layer's segment demand in
+    # before the dispatch — the host frontier engine is naturally
+    # compatible with paging because each layer's ranges live on the host
+    ensure = getattr(index, "_ensure_rows", None)
+    if ensure is not None:
+        ensure(np.concatenate([f[:B], l[:B]]))
     nf, nl = _backward_step_jit(
         index.arrays, jnp.asarray(c), jnp.asarray(f), jnp.asarray(l)
     )

@@ -104,6 +104,8 @@ def count_ranges(
                   sum(len(p) for p in patterns))
     if not patterns:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if hasattr(index, "_ensure_rows"):  # paged.PagedIndex: host-driven
+        return index.count_ranges(patterns)
     pats, B = pack_patterns([pattern_to_alpha(p) for p in patterns])
     first, last = _count_jit(index.arrays, index.meta.n_rows,
                              jnp.asarray(pats), row0=index.meta.row0)
@@ -128,6 +130,8 @@ def locate_range(
     metrics.count("queries/locate_rows", max(m, 0))
     if m <= 0:
         return np.zeros(0, dtype=np.int64)
+    if hasattr(index, "_ensure_rows"):  # paged.PagedIndex
+        return index.locate_range(first, first + m)
     Bp = _bucket(m)
     rows = np.full(Bp, 0, dtype=np.int32)
     rows[:m] = np.arange(first, first + m, dtype=np.int32)
@@ -193,6 +197,8 @@ def extract_document(index: FMIndex, doc_id: int) -> bytes:
     """Reconstruct document bytes purely from the index (self-indexing),
     via a backward LF walk from the document's SEOF row — the analog of
     extract_document_query (server.h:399-406)."""
+    if hasattr(index, "_ensure_rows"):  # paged.PagedIndex
+        return index.extract_document(doc_id)
     dlen = int(index.doc_starts_np[doc_id + 1] - index.doc_starts_np[doc_id]) - 1
     if index.header_lens_np is not None:
         dlen -= int(index.header_lens_np[doc_id])
@@ -254,6 +260,8 @@ def locate_rows_array(index: FMIndex, rows: np.ndarray) -> np.ndarray:
     from .metrics import metrics
 
     metrics.count("queries/locate_rows", m)
+    if hasattr(index, "_ensure_rows"):  # paged.PagedIndex
+        return index.locate_rows_array(np.asarray(rows))
     Bp = _bucket(m)
     rr = np.zeros(Bp, dtype=np.int32)
     rr[:m] = rows
