@@ -38,11 +38,9 @@ def main():
     ap.add_argument("--mark", type=int, default=20)
     args = ap.parse_args()
 
-    import pydoc_data.topics as topics
-    buf = ("\n".join(sorted(topics.topics.values()))).encode()
-    nb = int(args.mb * (1 << 20))
-    reps = -(-nb // len(buf))
-    buf = (buf * reps)[:nb]
+    from corpus_real import english_prose  # UNIQUE prose — never tiled
+
+    buf = english_prose(args.mb)
     docs = [buf[i:i + 65536] for i in range(0, len(buf), 65536)]
     prep = ft.prepare_documents(docs)
     n = prep.n

@@ -680,8 +680,13 @@ def vrle_plan(nsym_np: np.ndarray, slots_np: np.ndarray, *, seg: int,
                 n_cov = int(cov.sum())
                 smax_cov = int(nsym_np[cov].max()) if n_cov else 2
                 s_store = -(-min(max(smax_cov, 2), VRLE_SMAX) // per) * per
+                # continuations live in a FLAT word store (round 5): each
+                # segment pays only its ACTUAL overflow words, so C is a
+                # fetch-window bound, not a per-segment allocation
+                cont_words = int(np.sum(
+                    (-(-bits_np[cont] // 32)) - A)) if cont.any() else 0
                 bytes_w = (n_seg * (A * 4 + s_store * sym_b)
-                           + int(cont.sum()) * C * 4
+                           + cont_words * 4
                            + int((~cov).sum()) * Wside * 4)
                 if best is None or bytes_w < best[0]:
                     best = (bytes_w, w_eff, A, C, s_store, rle, cont, wfit)
@@ -743,15 +748,34 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     mode_rle = jnp.asarray(rle_np | cont_np)
     code_area = jnp.where(mode_rle[:, None], rle_rows, w_rows)
 
+    # FLAT continuation store (round 5): each continuation segment pays
+    # only its actual overflow words; serving gathers a fixed C_words
+    # window at the segment's word offset (seg_woff == -(2 + off)).
+    # Trailing window words belong to other segments and decode to
+    # harmless slots: every true stream's slot lengths sum to exactly
+    # seg, so bogus tail slots start at >= seg and can never contribute.
     cont_idx = np.nonzero(cont_np)[0].astype(np.int32)
     ncont = int(cont_idx.shape[0])
     if ncont and C_words:
+        w_slot_np, _ = vrle_slot_geom_np(nsym_np)
+        bits_np = slots_np.astype(np.int64) * w_slot_np
+        cwords = (-(-bits_np[cont_idx] // 32) - A_words).astype(np.int64)
+        offs = np.zeros(ncont + 1, np.int64)
+        np.cumsum(cwords, out=offs[1:])
+        total_w = int(offs[-1])
+        # pad with a full guard window; round up to C_words columns
+        total_pad = -(-(total_w + C_words) // C_words) * C_words
         cont_rows = jnp.take(rle_full[:, A_words:],
                              jnp.asarray(cont_idx), axis=0)
-        seg_cont = jnp.concatenate(
-            [jnp.zeros((1, C_words), jnp.uint32), cont_rows])
+        flat = _flatten_ragged(
+            cont_rows, jnp.asarray(cwords.astype(np.int32)),
+            jnp.asarray(offs[:-1].astype(np.int32)),
+            total_pad=total_pad, W=C_words, fill=0)
+        seg_cont = flat.reshape(-1, C_words)
+        cont_woffs = offs[:-1]
     else:
         seg_cont = jnp.zeros((1, 1), jnp.uint32)
+        cont_woffs = np.zeros(0, np.int64)
 
     sym_words = _vseg_sym_words(syms_i32[:, :s_store], wide)
     mck_w = mark_ckpt.astype(jnp.uint32)[:, None]
@@ -766,8 +790,10 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     novf = int(ovf_idx.shape[0])
     seg_woff_np = np.zeros(n_seg, np.int32)
     seg_woff_np[rle_np] = -1
-    # continuation segments: -(1 + row) into seg_cont (row 0 is a dummy)
-    seg_woff_np[cont_idx] = -(1 + np.arange(1, ncont + 1, dtype=np.int32))
+    # continuation segments: -(2 + flat word offset) — -1 stays "RLE, no
+    # continuation" (the fetch window for those lanes reads offset 0 and
+    # appends harmless slots; see the flat-store comment above)
+    seg_woff_np[cont_idx] = -(2 + cont_woffs.astype(np.int32))
     seg_woff_np[ovf_idx] = np.arange(1, novf + 1, dtype=np.int32)
     if novf:
         codes_ovf = jnp.take(codes2d, jnp.asarray(ovf_idx), axis=0)
@@ -783,12 +809,14 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
 
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    # marker shape: [3, w_main] when ANY RLE/continuation rows exist
-    # (3 = sub-byte slot scheme; 2 would mean legacy u8 slots of older
-    # saved indexes), [1, w_main] otherwise — rank.vrle_has_rle skips the
-    # slot machinery statically for pure fixed-width indexes
+    # marker leading dim = the slot/continuation scheme: 4 = sub-byte
+    # slots + FLAT continuation store, 3 = sub-byte + per-row
+    # continuations (no longer written; loads fine), 2 = legacy u8,
+    # 1 = no RLE rows — rank.vrle_has_rle skips the slot machinery
+    # statically for pure fixed-width indexes
     has_rle = bool((rle_np | cont_np).any())
-    seg_rle = jnp.zeros((3 if has_rle else 1, w_main), jnp.int32)
+    scheme = 4 if ncont else 3
+    seg_rle = jnp.zeros((scheme if has_rle else 1, w_main), jnp.int32)
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
             jnp.asarray(seg_woff_np), seg_syms, seg_rle, seg_cont)
 
@@ -822,14 +850,14 @@ def _doc_lists_stage(sa, doc_starts, *, n, n_seg, seg):
     return vals, counts
 
 
-@functools.partial(jax.jit, static_argnames=("total_pad", "W"))
-def _flatten_ragged(vals2d, counts, woff, *, total_pad, W):
+@functools.partial(jax.jit, static_argnames=("total_pad", "W", "fill"))
+def _flatten_ragged(vals2d, counts, woff, *, total_pad, W, fill=-1):
     """Compact per-row prefixes (row r contributes its first counts[r]
     entries at woff[r]) into one flat array (device scatter)."""
     j = jnp.arange(W, dtype=jnp.int32)[None, :]
     valid = j < counts[:, None]
     idx = jnp.where(valid, woff[:, None] + j, total_pad)
-    return jnp.full((total_pad + 1,), -1, vals2d.dtype).at[
+    return jnp.full((total_pad + 1,), fill, vals2d.dtype).at[
         idx.reshape(-1)].set(vals2d.reshape(-1), mode="drop")[:total_pad]
 
 

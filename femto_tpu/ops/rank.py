@@ -245,6 +245,57 @@ def _decode_static(words: jax.Array, w: int, seg: int) -> jax.Array:
             & jnp.uint32((1 << w) - 1)).astype(jnp.int32)
 
 
+def _swar_L(w: int) -> int:
+    """Field-LSB mask: bit f*w set for every field f of a 32-bit word."""
+    per = 32 // w
+    return sum(1 << (f * w) for f in range(per))
+
+
+def _count_eq_packed(words: jax.Array, w: int, lq: jax.Array,
+                     off: jax.Array) -> jax.Array:
+    """SWAR rank (round 5): #fields equal to lq among the first `off`
+    w-bit fields of each lane's packed words — WITHOUT materializing the
+    [B, seg] code grid.  Per word: XOR with the replicated query code,
+    OR-reduce each field onto its LSB (shift reach capped at w-1 so
+    fields never contaminate a neighbor's LSB), mask to the off-prefix,
+    popcount.  ~3x fewer VPU ops than the grid compare and 32/w x less
+    intermediate data — the decode was the row tiers' serving bottleneck
+    at seg >= 1024.  lq outside [0, 2^w) counts nothing."""
+    per = 32 // w
+    L = jnp.uint32(_swar_L(w))
+    pat = lq.astype(jnp.uint32)[:, None] * L
+    z = words ^ pat
+    total, s = 0, 1
+    while total < w - 1:
+        step = min(s, w - 1 - total)
+        z = z | (z >> jnp.uint32(step))
+        total += step
+        s *= 2
+    eqbits = (~z) & L
+    wi = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
+    opw = off // per
+    k = (off % per).astype(jnp.uint32)
+    partial = L & ((jnp.uint32(1) << (k * jnp.uint32(w))) - jnp.uint32(1))
+    mask = jnp.where(wi < opw[:, None], L,
+                     jnp.where(wi == opw[:, None], partial[:, None],
+                               jnp.uint32(0)))
+    cnt = jnp.sum(jax.lax.population_count(eqbits & mask),
+                  axis=1).astype(jnp.int32)
+    valid = (lq >= 0) & (lq < (1 << w))
+    return jnp.where(valid, cnt, 0)
+
+
+def _field_at(words: jax.Array, w: int, off: jax.Array) -> jax.Array:
+    """int32[B]: the w-bit field at position off of each lane's words
+    (one take_along_axis, no grid)."""
+    per = 32 // w
+    W = words.shape[1]
+    word = jnp.take_along_axis(
+        words, jnp.minimum(off // per, W - 1)[:, None], axis=1)[:, 0]
+    sh = ((off % per).astype(jnp.uint32) * jnp.uint32(w))
+    return ((word >> sh) & jnp.uint32((1 << w) - 1)).astype(jnp.int32)
+
+
 def _vrle_ws(nsym):
     """Per-segment RLE symbol width (serve-side twin of
     build_ops._vrle_ws): ceil(log2(max(nsym, 2))) capped at 6."""
@@ -312,6 +363,13 @@ def vrle_subbyte(arrays: FMArrays) -> bool:
     return arrays.seg_rle is not None and arrays.seg_rle.shape[0] >= 3
 
 
+def vrle_flat_cont(arrays: FMArrays) -> bool:
+    """STATIC: continuations live in a FLAT word store (seg_woff ==
+    -(2 + word offset); serving gathers a fixed window) vs the per-row
+    table of older indexes."""
+    return arrays.seg_rle is not None and arrays.seg_rle.shape[0] >= 4
+
+
 def _vrle_slots_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
                          geom: "_VsegGeom"):
     """(lsym, slen, starts) int32[B, NS] slot view of RLE-mode rows (plus
@@ -326,7 +384,20 @@ def _vrle_slots_from_row(arrays: FMArrays, row: jax.Array, s: jax.Array,
     pure shifts on constant indices) and selected per lane by the
     segment's slot geometry.  Legacy u8 indexes keep the byte stream."""
     words = row[:, :geom.W]
-    if arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
+    if vrle_flat_cont(arrays):
+        # flat continuation store: gather a fixed C-word window at the
+        # segment's word offset.  Non-continued lanes read offset 0 and
+        # lanes near the end read the zero guard pad — both decode to
+        # slots that start at >= seg (every true stream's lengths sum to
+        # exactly seg) and contribute nothing.
+        flat = arrays.seg_cont.reshape(-1)
+        CW = arrays.seg_cont.shape[1]
+        woff = arrays.seg_woff[s]
+        off = jnp.maximum(-woff - 2, 0)
+        idx = jnp.minimum(off[:, None] + jnp.arange(CW, dtype=jnp.int32),
+                          flat.shape[0] - 1)
+        words = jnp.concatenate([words, flat[idx]], axis=1)
+    elif arrays.seg_cont is not None and arrays.seg_cont.shape[0] > 1:
         woff = arrays.seg_woff[s]
         cont_row = jnp.clip(-woff - 1, 0, arrays.seg_cont.shape[0] - 1)
         cw = jnp.take(arrays.seg_cont, cont_row, axis=0)
@@ -423,33 +494,65 @@ def _vseg_local_grid(arrays: FMArrays, s: jax.Array):
 
 def _row_ctx(arrays: FMArrays, s: jax.Array):
     """Hot-path per-lane decode context for the row tiers:
-    (geom, row, grid, is_side, mode_rle, slot_view).  `grid` is the
-    fixed-width (+side) decode — garbage in RLE-mode lanes, which the
-    callers mask with `mode_rle` and serve from `slot_view` instead
-    (clamp-sum, no grid materialization).  Pure-W vrle indexes
-    (vrle_has_rle False) skip the slot machinery statically."""
+    (geom, row, side_row, is_side, mode_rle, slot_view).  Round 5: the
+    [B, seg] code grid is GONE from the hot path — rank counts run as
+    SWAR popcounts directly over the packed words (_count_eq_packed) and
+    single-code reads are field extractions (_field_at); side rows are
+    fetched once (zeros when no lane is overflow) and served the same
+    way.  RLE-mode lanes serve from the slot view (clamp-sum).  Pure-W
+    vrle indexes (vrle_has_rle False) skip the slot machinery
+    statically."""
     geom = _vseg_geom(arrays)
-    seg = geom.seg
     row = _bwt_row(arrays, s)
-    g = _decode_static(row[:, :geom.Wmode], geom.w_main, seg)
     ovf = arrays.seg_woff[s]
     is_side = ovf > 0
+    side_row = None
     if arrays.seg_ovf.shape[0] > 1:
         n_side = arrays.seg_ovf.shape[0]
+        Ws = arrays.seg_ovf.shape[1]
 
-        def with_side(g):
-            side = jnp.take(arrays.seg_ovf,
-                            jnp.clip(ovf, 0, n_side - 1), axis=0)
-            gs = _decode_static(side, geom.w_side, seg)
-            return jnp.where(is_side[:, None], gs, g)
+        def fetch(o):
+            return jnp.take(arrays.seg_ovf,
+                            jnp.clip(o, 0, n_side - 1), axis=0)
 
-        g = jax.lax.cond(jnp.any(is_side), with_side, lambda g: g, g)
+        def skip(o):
+            # zeros DERIVED from the varying operand so both cond
+            # branches agree on shard_map varying-axis types
+            return jnp.zeros((s.shape[0], Ws), jnp.uint32) \
+                + (o[:, None] & 0).astype(jnp.uint32)
+
+        side_row = jax.lax.cond(jnp.any(is_side), fetch, skip, ovf)
     mode_rle = None
     sv = None
     if vrle_has_rle(arrays):
         mode_rle = ovf < 0
         sv = _vrle_slots_from_row(arrays, row, s, geom)
-    return geom, row, g, is_side, mode_rle, sv
+    return geom, row, side_row, is_side, mode_rle, sv
+
+
+def _ctx_within(geom: "_VsegGeom", row, side_row, is_side, mode_rle, sv,
+                lq: jax.Array, off: jax.Array) -> jax.Array:
+    """#occurrences of per-lane code lq in the first `off` rows of each
+    lane's segment, from the _row_ctx context (SWAR, no grid)."""
+    w = _count_eq_packed(row[:, :geom.Wmode], geom.w_main, lq, off)
+    if side_row is not None:
+        ws = _count_eq_packed(side_row, geom.w_side, lq, off)
+        w = jnp.where(is_side, ws, w)
+    if sv is not None:
+        w = jnp.where(mode_rle, _vrle_within(sv, lq, off), w)
+    return w
+
+
+def _ctx_code_at(geom: "_VsegGeom", row, side_row, is_side, mode_rle, sv,
+                 off: jax.Array) -> jax.Array:
+    """Per-lane code at in-segment offset `off` (LOCAL space for main
+    lanes, GLOBAL for side lanes), from the _row_ctx context."""
+    lc = _field_at(row[:, :geom.Wmode], geom.w_main, off)
+    if side_row is not None:
+        lc = jnp.where(is_side, _field_at(side_row, geom.w_side, off), lc)
+    if sv is not None:
+        lc = jnp.where(mode_rle, _vrle_code_at(sv, off), lc)
+    return lc
 
 
 def _vseg_query_code(arrays: FMArrays, row: jax.Array, is_side: jax.Array,
@@ -485,10 +588,8 @@ def bwt_code_at(arrays: FMArrays, r: jax.Array) -> jax.Array:
     s = r // seg
     off = r - s * seg
     if is_row_tier(arrays):
-        _, rowm, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
-        lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
-        if sv is not None:
-            lc = jnp.where(mode_rle, _vrle_code_at(sv, off), lc)
+        geom, rowm, side_row, is_side, mode_rle, sv = _row_ctx(arrays, s)
+        lc = _ctx_code_at(geom, rowm, side_row, is_side, mode_rle, sv, off)
         syms = _vseg_syms_from_row(arrays, rowm)
         SMAX = syms.shape[1]
         cg = jnp.take_along_axis(
@@ -531,15 +632,11 @@ def _occ_dense_vseg(arrays: FMArrays, cd: jax.Array,
     at_end = r >= n_rows_total
     s = jnp.minimum(r // seg, n_segments(arrays) - 1)
     off = r - s * seg
-    _, row, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
+    geom, row, side_row, is_side, mode_rle, sv = _row_ctx(arrays, s)
     base = _vseg_base_from_row(arrays, row, s, cc)
     lq = _vseg_query_code(arrays, row, is_side, cc)
-    iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
-    within = jnp.sum(
-        (grid == lq[:, None]) & (iota < off[:, None]), axis=1
-    ).astype(jnp.int32)
-    if sv is not None:
-        within = jnp.where(mode_rle, _vrle_within(sv, lq, off), within)
+    within = _ctx_within(geom, row, side_row, is_side, mode_rle, sv,
+                         lq, off)
     total = arrays.C[cc + 1] - arrays.C[cc]
     return jnp.where(valid, jnp.where(at_end, total, base + within), 0)
 
@@ -794,23 +891,17 @@ def lf_grank_step(arrays: FMArrays, r: jax.Array):
         # ONE-row walk step: codes, the symbol map, the occ base, the
         # mark bit AND the mark rank all come from the same gathered row
         # (plus the small L1 point) — 5 gather streams collapsed to 2
-        _, rowm, grid, is_side, mode_rle, sv = _row_ctx(arrays, s)
-        lc = jnp.take_along_axis(grid, off[:, None], axis=1)[:, 0]
-        if sv is not None:
-            lc = jnp.where(mode_rle, _vrle_code_at(sv, off), lc)
+        geom, rowm, side_row, is_side, mode_rle, sv = _row_ctx(arrays, s)
+        lc = _ctx_code_at(geom, rowm, side_row, is_side, mode_rle, sv,
+                          off)
         syms = _vseg_syms_from_row(arrays, rowm)
         SMAX = syms.shape[1]
         cg = jnp.take_along_axis(
             syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
         c = jnp.where(is_side, lc, cg)
         base = _vseg_base_from_row(arrays, rowm, s, c)
-        iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
-        within = jnp.sum(
-            (grid == lc[:, None]) & (iota < off[:, None]), axis=1
-        ).astype(jnp.int32)
-        if sv is not None:
-            within = jnp.where(mode_rle, _vrle_within(sv, lc, off),
-                               within)
+        within = _ctx_within(geom, rowm, side_row, is_side, mode_rle, sv,
+                             lc, off)
         bit, grank = _vseg_marks_from_row(arrays, rowm, r)
         return arrays.C[c] + base + within, bit, grank
 

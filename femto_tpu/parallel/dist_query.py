@@ -47,15 +47,11 @@ def _vseg_local_occ(arrays: FMArrays, sl: jax.Array, cc: jax.Array,
     """occ base + in-segment count for dense code cc at shard-LOCAL
     segment sl, row offset off — ONE main-row gather (the sharded twin of
     rank._occ_dense_vseg's hot path; occ_l1 rows carry the global base)."""
-    _, row, grid, is_side, mode_rle, sv = R._row_ctx(arrays, sl)
+    geom, row, side_row, is_side, mode_rle, sv = R._row_ctx(arrays, sl)
     base = R._vseg_base_from_row(arrays, row, sl, cc)
     lq = R._vseg_query_code(arrays, row, is_side, cc)
-    iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
-    within = jnp.sum(
-        (grid == lq[:, None]) & (iota < off[:, None]), axis=1
-    ).astype(jnp.int32)
-    if sv is not None:
-        within = jnp.where(mode_rle, R._vrle_within(sv, lq, off), within)
+    within = R._ctx_within(geom, row, side_row, is_side, mode_rle, sv,
+                           lq, off)
     return base + within
 
 
@@ -331,24 +327,19 @@ def _locate_routed_body(arrays: FMArrays, rows_local: jax.Array,
             # fused one-row walk step (rank.lf_grank_step's vseg path with
             # shard-local ids): codes, symbol map, occ base, mark bit and
             # GLOBAL mark rank all from the same gathered serving row
-            _, rowm, grid, is_side, mode_rle, sv = R._row_ctx(arrays, sl)
+            geom, rowm, side_row, is_side, mode_rle, sv = R._row_ctx(
+                arrays, sl)
             offc = jnp.clip(off, 0, seg - 1)
-            lc = jnp.take_along_axis(grid, offc[:, None], axis=1)[:, 0]
-            if sv is not None:
-                lc = jnp.where(mode_rle, R._vrle_code_at(sv, offc), lc)
+            lc = R._ctx_code_at(geom, rowm, side_row, is_side, mode_rle,
+                                sv, offc)
             syms = R._vseg_syms_from_row(arrays, rowm)
             SMAX = syms.shape[1]
             cg = jnp.take_along_axis(
                 syms, jnp.clip(lc, 0, SMAX - 1)[:, None], axis=1)[:, 0]
             c = jnp.where(is_side, lc, cg)
             base = R._vseg_base_from_row(arrays, rowm, sl, c)
-            iota = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
-            within = jnp.sum(
-                (grid == lc[:, None]) & (iota < off[:, None]), axis=1
-            ).astype(jnp.int32)
-            if sv is not None:
-                within = jnp.where(mode_rle, R._vrle_within(sv, lc, off),
-                                   within)
+            within = R._ctx_within(geom, rowm, side_row, is_side,
+                                   mode_rle, sv, lc, off)
             lf = arrays.C[c] + base + within
             bit, grank = R._vseg_marks_from_row(arrays, rowm, r)
             mv = R.mark_offset(arrays, grank - arrays.mark_ckpt[0])

@@ -202,3 +202,37 @@ def test_extract_prepared_array_level(rng):
     both = ft.prepare_documents(docs)
     np.testing.assert_array_equal(mp.text, both.text)
     np.testing.assert_array_equal(mp.doc_starts, both.doc_starts)
+
+
+def test_swar_count_eq_matches_grid_oracle(rng):
+    """ops/rank._count_eq_packed (the round-5 SWAR rank) must agree with
+    the [B, seg] grid decode + compare for every field width, including
+    widths that do not divide 32 (pad bits at the word top)."""
+    import jax.numpy as jnp
+    from femto_tpu.ops.rank import _count_eq_packed, _decode_static, _field_at
+
+    for w in (1, 2, 3, 4, 5, 6, 8, 9, 10, 16):
+        per = 32 // w
+        seg = 192
+        W = -(-seg // per)
+        B = 48
+        codes = rng.integers(0, 1 << w, size=(B, W * per)).astype(np.uint32)
+        words = np.zeros((B, W), np.uint32)
+        for f in range(per):
+            words |= codes[:, f::per][:, :W] << np.uint32(f * w)
+        words_d = jnp.asarray(words)
+        lq = jnp.asarray(
+            rng.integers(-1, 1 << w, size=B).astype(np.int32))  # incl. -1
+        off = jnp.asarray(rng.integers(0, seg + 1, size=B).astype(np.int32))
+        grid = _decode_static(words_d, w, seg)
+        iota = np.arange(seg)[None, :]
+        want = ((np.asarray(grid) == np.asarray(lq)[:, None])
+                & (iota < np.asarray(off)[:, None])).sum(axis=1)
+        got = np.asarray(_count_eq_packed(words_d, w, lq, off))
+        assert (got == want).all(), w
+        # field extraction agrees with the grid too
+        offc = jnp.asarray(
+            rng.integers(0, seg, size=B).astype(np.int32))
+        want_f = np.asarray(grid)[np.arange(B), np.asarray(offc)]
+        got_f = np.asarray(_field_at(words_d, w, offc))
+        assert (got_f == want_f).all(), w
