@@ -500,6 +500,10 @@ def _vrle_ws(nsym):
 #   mean run cost ~2 slots) to ~1.25 B/run in ONE slot.
 VRLE_SLOT_WIDTHS = (6, 8, 10)
 
+# Flat-continuation granule (words): continuation offsets align to this
+# so serving fetches whole granule rows (row gather, not element gather)
+VRLE_CONT_G = 16
+
 
 def vrle_slot_geom_np(nsym: np.ndarray):
     """(w_slot, lenbits) per segment — host edition."""
@@ -756,22 +760,27 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
     # seg, so bogus tail slots start at >= seg and can never contribute.
     cont_idx = np.nonzero(cont_np)[0].astype(np.int32)
     ncont = int(cont_idx.shape[0])
+    ngr = 1
     if ncont and C_words:
         w_slot_np, _ = vrle_slot_geom_np(nsym_np)
         bits_np = slots_np.astype(np.int64) * w_slot_np
         cwords = (-(-bits_np[cont_idx] // 32) - A_words).astype(np.int64)
+        # GRANULE alignment: offsets are multiples of VRLE_CONT_G words
+        # so serving fetches whole granule ROWS (a [B, ngr] row gather —
+        # an element-level window gather measured ~6x slower serving)
+        G = VRLE_CONT_G
+        cw_al = (-(-cwords // G)) * G
         offs = np.zeros(ncont + 1, np.int64)
-        np.cumsum(cwords, out=offs[1:])
-        total_w = int(offs[-1])
-        # pad with a full guard window; round up to C_words columns
-        total_pad = -(-(total_w + C_words) // C_words) * C_words
+        np.cumsum(cw_al, out=offs[1:])
+        ngr = max(1, -(-C_words // G))
+        total_pad = int(offs[-1]) + ngr * G        # guard rows
         cont_rows = jnp.take(rle_full[:, A_words:],
                              jnp.asarray(cont_idx), axis=0)
         flat = _flatten_ragged(
             cont_rows, jnp.asarray(cwords.astype(np.int32)),
             jnp.asarray(offs[:-1].astype(np.int32)),
             total_pad=total_pad, W=C_words, fill=0)
-        seg_cont = flat.reshape(-1, C_words)
+        seg_cont = flat.reshape(-1, G)
         cont_woffs = offs[:-1]
     else:
         seg_cont = jnp.zeros((1, 1), jnp.uint32)
@@ -809,13 +818,13 @@ def _build_vrle(bwt_chars, per_seg_used, used, mark_bits, mark_ckpt,
 
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    # marker leading dim = the slot/continuation scheme: 4 = sub-byte
-    # slots + FLAT continuation store, 3 = sub-byte + per-row
-    # continuations (no longer written; loads fine), 2 = legacy u8,
-    # 1 = no RLE rows — rank.vrle_has_rle skips the slot machinery
-    # statically for pure fixed-width indexes
+    # marker leading dim = the slot/continuation scheme: 3 + ngr =
+    # sub-byte slots + FLAT continuation store fetched as ngr granule
+    # rows of seg_cont.shape[1] words each; 3 = sub-byte without
+    # continuations; 2 = legacy u8; 1 = no RLE rows — rank.vrle_has_rle
+    # skips the slot machinery statically for pure fixed-width indexes
     has_rle = bool((rle_np | cont_np).any())
-    scheme = 4 if ncont else 3
+    scheme = (3 + ngr) if ncont else 3
     seg_rle = jnp.zeros((scheme if has_rle else 1, w_main), jnp.int32)
     return (bwt_main, occ_ckpt, occ_l1, C, seg_ovf, _to_u8(nsym_i32),
             jnp.asarray(seg_woff_np), seg_syms, seg_rle, seg_cont)

@@ -1296,13 +1296,16 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
          rel_words], axis=1)
 
     # FLAT continuation store (round 5, same scheme as _build_vrle):
-    # each continuation segment pays only its ACTUAL overflow words;
-    # max_cont is the host-staged global per-shard WORD total, so the
-    # sharded stores stay rectangular
+    # each continuation segment pays its overflow words rounded up to
+    # the fetch granule; max_cont is the host-staged global per-shard
+    # ALIGNED word total, so the sharded stores stay rectangular
+    from ..ops.build_ops import VRLE_CONT_G as G
     CW = max(C_words, 1)
+    ngr = max(1, -(-CW // G))
     cwords = jnp.where(cont, (-(-bits_blk // 32)) - A_words, 0)
-    coffs = jnp.cumsum(cwords) - cwords              # exclusive word offs
-    total_pad = -(-(max_cont + CW) // CW) * CW
+    cw_al = (-(-cwords // G)) * G
+    coffs = jnp.cumsum(cw_al) - cw_al                # exclusive, aligned
+    total_pad = max_cont + ngr * G                   # guard rows
     cont_src = (rle_full[:, A_words:] if C_words
                 else jnp.zeros((nseg_local, 1), jnp.uint32))
     jw = jnp.arange(CW, dtype=jnp.int32)[None, :]
@@ -1310,7 +1313,7 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
     tgtw = jnp.where(validw, coffs[:, None] + jw, total_pad)
     flat = jnp.zeros((total_pad + 1,), jnp.uint32).at[
         tgtw.reshape(-1)].set(cont_src.reshape(-1), mode="drop")[:total_pad]
-    seg_cont = flat.reshape(-1, CW)
+    seg_cont = flat.reshape(-1, G)
 
     # side table (global codes, like the vseg shard path)
     ovf_rank = jnp.cumsum((~cov).astype(jnp.int32))
@@ -1332,9 +1335,9 @@ def _package_shard_vrle(sa_block, bwt_block, a_row_block, doc_starts, used,
     seg_nsym = _to_u8(nsym_blk)
     seg_syms = (_to_u16 if wide else _to_u8)(
         jnp.zeros((1, s_store), jnp.int32))
-    # 4 = sub-byte slots + flat continuation store, 3 = sub-byte without
-    # continuations, 1 = no RLE rows (build_ops._build_vrle marker doc)
-    scheme = 4 if has_cont else 3
+    # 3 + ngr = sub-byte slots + flat granule-row continuation store,
+    # 3 = no continuations, 1 = no RLE rows (build_ops._build_vrle doc)
+    scheme = (3 + ngr) if has_cont else 3
     seg_rle = jnp.zeros((scheme if has_rle else 1, w_main), jnp.int32)
     occ_dummy = jnp.zeros((1, K), jnp.uint16)
     mark_bits_dummy = jnp.zeros((1, seg // 32), jnp.uint32)
@@ -1586,11 +1589,12 @@ def build_index_sharded(
         nseg_loc = n_seg_total // D
         cov2d = (rle_np | cont_np | wfit_np).reshape(D, nseg_loc)
         # per-shard FLAT continuation word totals (round 5): each cont
-        # segment contributes its actual overflow words
-        from ..ops.build_ops import vrle_slot_geom_np
+        # segment contributes its overflow words, granule-aligned
+        from ..ops.build_ops import VRLE_CONT_G, vrle_slot_geom_np
         w_slot_np, _ = vrle_slot_geom_np(nsym_np)
         bits_np = slots_np.astype(np.int64) * w_slot_np
         cw_np = np.where(cont_np, (-(-bits_np // 32)) - A_words, 0)
+        cw_np = (-(-cw_np // VRLE_CONT_G)) * VRLE_CONT_G
         max_cont = int(cw_np.reshape(D, nseg_loc).sum(axis=1).max())
         max_ovf = int((~cov2d).sum(axis=1).max())
         has_rle = bool((rle_np | cont_np).any())
